@@ -1,0 +1,336 @@
+"""SPECTRE layers: frequency-domain token mixing (reference spectre.py:400-982).
+
+Pure ``init``/``apply`` functions over parameter pytrees.  Differences from
+the reference that are deliberate TPU-first design (not behavior changes):
+
+- Heads are **vmapped** over stacked per-head parameters instead of the
+  reference's sequential Python loop (spectre.py:712-713).
+- The wavelet branch is computed batched with a mask instead of a Python
+  loop over the batch (spectre.py:853-874).
+- Randomness (dropout, wavelet on-mask) comes from explicit JAX PRNG keys;
+  ``deterministic=True`` disables both (the reference is stochastic even in
+  eval — SURVEY §3.6-E).
+- The frozen spectral memory (spectre.py:951-959) is wrapped in
+  ``stop_gradient`` at use; optimizers should additionally mask it out.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fft_tpu.config import SpectreConfig, SpectreHeadConfig
+from fft_tpu.layers.common import (
+    gelu_exact, layernorm_apply, layernorm_init, linear_apply, linear_init,
+)
+from fft_tpu.ops import (
+    attention_pool, complex_circular_conv1d, dct_pool, haar_decompose,
+    haar_reconstruct, interp_complex_1d, mean_pool, modrelu,
+)
+from fft_tpu.ops.interp import interp_complex_1d_ref_compat
+from fft_tpu.ops import fftops
+
+
+# ---------------------------------------------------------------------------
+# Single head (spectre.py:400-557)
+# ---------------------------------------------------------------------------
+
+def spectre_head_init(key, cfg: SpectreHeadConfig, dtype=jnp.float32):
+    d = cfg.embed_dim
+    keys = jax.random.split(key, 6)
+    params = {
+        "w_q": linear_init(keys[0], d, d, bias=False, dtype=dtype),
+        "w_v": linear_init(keys[1], d, d, bias=False, dtype=dtype),
+        "gate_mlp": {
+            "fc1": linear_init(keys[2], d, cfg.d_gate, dtype=dtype),
+            "fc2": linear_init(keys[3], cfg.d_gate,
+                               cfg.buckets * cfg.num_groups * 2, dtype=dtype),
+        },
+        "q_norm": layernorm_init(d, dtype),
+        # Reference flattens the (G, F_half) gate before modReLU
+        # (spectre.py:531), so the bias is per (group, frequency) element.
+        # Init -0.1 = near-identity gate (spectre.py:105).
+        "modrelu_bias": jnp.full((cfg.num_groups, cfg.f_half), -0.1, dtype),
+    }
+    if cfg.pooling_type == "attention":
+        k1, k2 = jax.random.split(keys[4])
+        params["pool"] = {
+            "fc1": linear_init(k1, d, 256, dtype=dtype),
+            "fc2": linear_init(k2, 256, 1, dtype=dtype),
+        }
+    if cfg.use_toeplitz:
+        # The intended init of the reference's (crashing) constructor
+        # (spectre.py:464-474): complex kernel, length 2*bw+1, 1/sqrt(len).
+        # Stored as a real (2, klen) [re; im] pair: complex leaves must never
+        # cross a jit/device boundary on TPU (transfer of complex64 is
+        # unimplemented on some TPU runtimes; real pairs also checkpoint
+        # cleanly).  Recombined with lax.complex inside the traced fn.
+        klen = 2 * cfg.toeplitz_bw + 1
+        kr = jax.random.split(keys[5], 1)[0]
+        scale = 1.0 / math.sqrt(2.0 * klen)  # per-component std of cfloat randn
+        params["toeplitz_kernel"] = (
+            jax.random.normal(kr, (2, klen), dtype) * scale)
+    return params
+
+
+def spectre_gate(params, cfg: SpectreHeadConfig, descriptor: jnp.ndarray):
+    """Content-adaptive complex spectral gate from a pooled descriptor.
+
+    descriptor: (..., d) normalized pooled query.  Returns (..., G, F_half)
+    complex gate — the shared math of forward (spectre.py:515-531) and
+    decode (spectre.py:579-591).
+    """
+    h = gelu_exact(linear_apply(params["gate_mlp"]["fc1"], descriptor))
+    raw = linear_apply(params["gate_mlp"]["fc2"], h)
+    raw = raw.reshape(*raw.shape[:-1], cfg.num_groups, cfg.buckets, 2)
+    anchor = jax.lax.complex(raw[..., 0], raw[..., 1])       # (..., G, Bk)
+    if cfg.use_toeplitz:
+        tk = params["toeplitz_kernel"]
+        anchor = anchor + complex_circular_conv1d(
+            anchor, jax.lax.complex(tk[0], tk[1]))
+    if cfg.interp_reference_compat:
+        gate = interp_complex_1d_ref_compat(anchor, cfg.f_half)
+    else:
+        gate = interp_complex_1d(anchor, cfg.f_half, mode="cubic")
+    return modrelu(gate, params["modrelu_bias"])
+
+
+def _pool_descriptor(params, cfg: SpectreHeadConfig, q: jnp.ndarray):
+    if cfg.pooling_type == "attention":
+        pooled = attention_pool(
+            {"w1": params["pool"]["fc1"]["w"], "b1": params["pool"]["fc1"]["b"],
+             "w2": params["pool"]["fc2"]["w"], "b2": params["pool"]["fc2"]["b"]},
+            q)
+    elif cfg.pooling_type == "dct":
+        pooled = dct_pool(q)
+    else:
+        pooled = mean_pool(q)
+    return layernorm_apply(params["q_norm"], pooled)
+
+
+def spectre_head_apply(
+    params,
+    cfg: SpectreHeadConfig,
+    x: jnp.ndarray,                      # (B, N, d) tokens of one head
+    *,
+    pos_phase: Optional[jnp.ndarray] = None,
+    memory_fft: Optional[jnp.ndarray] = None,   # (F_half, d) complex
+    dropout_rng=None,
+    deterministic: bool = True,
+):
+    """Full-sequence forward (spectre.py:479-557).  Requires N <= n_fft.
+    Returns (mixed (B, N, d), q_pool (B, d))."""
+    n = x.shape[-2]
+    assert n <= cfg.n_fft, f"sequence {n} exceeds n_fft {cfg.n_fft}"
+
+    q = linear_apply(params["w_q"], x)
+    v = linear_apply(params["w_v"], x)
+
+    v_fft = fftops.rfft(v, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
+
+    q_pool = _pool_descriptor(params, cfg, q)                 # (B, d)
+    gate = spectre_gate(params, cfg, q_pool)                  # (B, G, F_half)
+
+    if pos_phase is not None:
+        if pos_phase.ndim == 2:                               # (B, F_half)
+            gate = gate * pos_phase[:, None, :]
+        else:                                                 # (F_half,)
+            gate = gate * pos_phase
+    # (B, G, F) -> (B, F, G) -> repeat groups over channels -> (B, F, d).
+    gate_bc = jnp.repeat(jnp.swapaxes(gate, -1, -2), cfg.d_group, axis=-1)
+
+    mixed = gate_bc * v_fft
+    if memory_fft is not None:
+        mixed = mixed + memory_fft
+
+    v_time = fftops.irfft(mixed, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
+    out = v_time[..., :n, :]
+
+    if not deterministic and cfg.dropout_p > 0.0:
+        keep = 1.0 - cfg.dropout_p
+        mask = jax.random.bernoulli(dropout_rng, keep, out.shape)
+        out = jnp.where(mask, out / keep, 0.0)
+    return out, q_pool
+
+
+# ---------------------------------------------------------------------------
+# Wavelet refinement (spectre.py:819-887)
+# ---------------------------------------------------------------------------
+
+def wavelet_refinement_init(key, embed_dim: int, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": linear_init(k1, embed_dim, embed_dim, dtype=dtype),
+        "fc2": linear_init(k2, embed_dim, embed_dim, dtype=dtype),
+    }
+
+
+def wavelet_refinement_apply(
+    params,
+    v: jnp.ndarray,                      # (B, N, d) mixed tokens
+    q_pool: jnp.ndarray,                 # (B, d) pooled descriptor
+    on_rate: float,
+    *,
+    rng=None,
+    deterministic: bool = True,
+    reference_compat: bool = False,
+):
+    """Gated straight-through wavelet residual.
+
+    The gate MLP (Linear-SiLU-Linear-Sigmoid) trains; the wavelet path is
+    ``stop_gradient``-ed (the reference's design choice, spectre.py:876-885).
+    Batched mask instead of the reference's per-row Python loop.  With the
+    default PR Haar pyramid the decompose->reconstruct roundtrip is exact for
+    ANY length (the reference crashes on odd-length pyramid levels and is
+    lossy elsewhere — SURVEY §3.6-D); ``reference_compat=True`` reproduces
+    the reference's filter arithmetic for parity tests.
+
+    Determinism: the reference samples the on-mask even in eval.  Here,
+    ``deterministic=True`` rounds the behavior: on_rate >= 1 -> always on,
+    otherwise off.  Training passes an explicit ``rng``.
+    """
+    if on_rate <= 0.0:
+        return v
+    h = jax.nn.silu(linear_apply(params["fc1"], q_pool))
+    gate = jax.nn.sigmoid(linear_apply(params["fc2"], h))[:, None, :]  # (B,1,d)
+
+    vt = jnp.swapaxes(v, -1, -2)                             # (B, d, N)
+    coeffs, lengths = haar_decompose(vt, reference_compat=reference_compat)
+    v_ref = jnp.swapaxes(haar_reconstruct(coeffs, lengths), -1, -2)
+
+    if on_rate >= 1.0:
+        mask = jnp.ones((v.shape[0], 1, 1), v.dtype)
+    elif deterministic:
+        return v
+    else:
+        mask = jax.random.bernoulli(
+            rng, on_rate, (v.shape[0], 1, 1)).astype(v.dtype)
+
+    return v + jax.lax.stop_gradient(v_ref) * gate * mask
+
+
+# ---------------------------------------------------------------------------
+# Multi-head wrapper (spectre.py:660-726)
+# ---------------------------------------------------------------------------
+
+def spectre_multihead_init(key, cfg: SpectreConfig, dtype=jnp.float32):
+    hcfg = cfg.head_config()
+    kh, ko, kw = jax.random.split(key, 3)
+    head_keys = jax.random.split(kh, cfg.num_heads)
+    heads = jax.vmap(lambda k: spectre_head_init(k, hcfg, dtype))(head_keys)
+    return {
+        "heads": heads,                                        # stacked over H
+        "out_proj": linear_init(ko, cfg.embed_dim, cfg.embed_dim,
+                                bias=False, dtype=dtype),
+        "wavelet": wavelet_refinement_init(kw, cfg.embed_dim, dtype),
+    }
+
+
+def spectre_multihead_apply(
+    params,
+    cfg: SpectreConfig,
+    x: jnp.ndarray,                      # (B, N, d)
+    *,
+    pos_phase: Optional[jnp.ndarray] = None,
+    memory_fft: Optional[jnp.ndarray] = None,   # (F_half, d) complex
+    rngs: Optional[dict] = None,
+    deterministic: bool = True,
+):
+    b, n, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    hcfg = cfg.head_config()
+
+    xh = jnp.moveaxis(x.reshape(b, n, h, hd), 2, 0)          # (H, B, N, hd)
+
+    in_axes = [0, 0]
+    args = [params["heads"], xh]
+    if memory_fft is not None:
+        memh = jnp.moveaxis(memory_fft.reshape(cfg.f_half, h, hd), 1, 0)
+        args.append(memh)
+        in_axes.append(0)
+    else:
+        args.append(None)
+        in_axes.append(None)
+    if not deterministic and cfg.dropout_p > 0.0:
+        args.append(jax.random.split(rngs["dropout"], h))
+        in_axes.append(0)
+    else:
+        args.append(None)
+        in_axes.append(None)
+
+    def run(hp, xi, mem, drng):
+        return spectre_head_apply(
+            hp, hcfg, xi, pos_phase=pos_phase, memory_fft=mem,
+            dropout_rng=drng, deterministic=deterministic)
+
+    mixed, q_pools = jax.vmap(run, in_axes=tuple(in_axes))(*args)
+    mixed = jnp.moveaxis(mixed, 0, 2).reshape(b, n, d)       # concat heads
+    q_pool = jnp.moveaxis(q_pools, 0, 1).reshape(b, d)
+
+    refined = wavelet_refinement_apply(
+        params["wavelet"], mixed, q_pool, cfg.wavelet_on_rate,
+        rng=None if rngs is None else rngs.get("wavelet"),
+        deterministic=deterministic,
+        reference_compat=cfg.wavelet_reference_compat,
+    )
+    return linear_apply(params["out_proj"], refined)
+
+
+# ---------------------------------------------------------------------------
+# Transformer block (spectre.py:892-982)
+# ---------------------------------------------------------------------------
+
+def spectre_block_init(key, cfg: SpectreConfig, dtype=jnp.float32):
+    km, k1, k2, kmem = jax.random.split(key, 4)
+    params = {
+        "ln1": layernorm_init(cfg.embed_dim, dtype),
+        "mix": spectre_multihead_init(km, cfg, dtype),
+        "ln2": layernorm_init(cfg.embed_dim, dtype),
+        "mlp": {
+            "fc1": linear_init(k1, cfg.embed_dim,
+                               cfg.mlp_ratio * cfg.embed_dim, dtype=dtype),
+            "fc2": linear_init(k2, cfg.mlp_ratio * cfg.embed_dim,
+                               cfg.embed_dim, dtype=dtype),
+        },
+    }
+    bins = cfg.memory_freq_bins
+    if bins > 0:
+        # cfloat randn / sqrt(d): real & imag each N(0, 1/2)
+        # (spectre.py:951-957); frozen — stop_gradient at use + optimizer
+        # mask.  Stored as a real (2, bins, d) [re; im] pair so the param
+        # pytree has no complex leaves (TPU transfer + checkpoint friendly).
+        scale = 1.0 / math.sqrt(2.0 * cfg.embed_dim)
+        params["memory_fft"] = (
+            jax.random.normal(kmem, (2, bins, cfg.embed_dim), dtype) * scale)
+    return params
+
+
+def spectre_block_apply(
+    params,
+    cfg: SpectreConfig,
+    x: jnp.ndarray,                      # (B, N, d)
+    *,
+    rngs: Optional[dict] = None,
+    deterministic: bool = True,
+):
+    """Pre-LN residual block: x + mix(LN(x), memory) ; x + MLP(LN(x))
+    (spectre.py:967-982)."""
+    memory_pair = params.get("memory_fft")            # real (2, bins, d)
+    memory_fft = None
+    if memory_pair is not None:
+        memory_pair = jax.lax.stop_gradient(memory_pair)
+        memory_fft = jax.lax.complex(memory_pair[0], memory_pair[1])
+        if cfg.memory_freq_bins < cfg.f_half:
+            memory_fft = jnp.pad(
+                memory_fft,
+                ((0, cfg.f_half - cfg.memory_freq_bins), (0, 0)))
+    x = x + spectre_multihead_apply(
+        params["mix"], cfg, layernorm_apply(params["ln1"], x),
+        memory_fft=memory_fft, rngs=rngs, deterministic=deterministic)
+    h = layernorm_apply(params["ln2"], x)
+    h = linear_apply(params["mlp"]["fc2"],
+                     gelu_exact(linear_apply(params["mlp"]["fc1"], h)))
+    return x + h

@@ -1,0 +1,56 @@
+"""Real-FFT entry points with pluggable implementation.
+
+The reference leans on ATen/pocketfft ``torch.fft.rfft/irfft``
+(spectre.py:506, 551, 777).  Here every FFT goes through one dispatcher so
+the layer code is implementation-agnostic:
+
+- ``jnp``    — XLA's FFT HLO (always available, autodiff-exact).
+- ``matmul`` — our MXU-native mixed-radix matmul FFT (fft_tpu.kernels.matfft):
+  DFT stages expressed as dense matmuls over radix-≤128 factors, which XLA
+  tiles onto the systolic array; preferred on TPU for large batched
+  transforms.
+- ``pallas`` — fused Pallas kernel path (fft_tpu.kernels.pallas_fft).
+- ``auto``   — pick per (impl availability, size) at trace time.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_IMPLS = ("auto", "jnp", "matmul", "pallas")
+
+
+def _resolve(impl: str, n: int) -> str:
+    if impl == "auto":
+        # matmul-FFT requires n to factor into radices <= 128; power-of-two
+        # sizes always qualify.  Small transforms stay on jnp.
+        from fft_tpu.kernels.matfft import plan_factors
+        if n >= 128 and plan_factors(n) is not None:
+            return "matmul"
+        return "jnp"
+    assert impl in _IMPLS, impl
+    return impl
+
+
+def rfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto") -> jnp.ndarray:
+    """rFFT of real ``x`` along ``axis``, zero-padded/truncated to length n."""
+    impl = _resolve(impl, n)
+    if impl == "matmul":
+        from fft_tpu.kernels.matfft import rfft_matmul
+        return rfft_matmul(x, n, axis=axis)
+    if impl == "pallas":
+        from fft_tpu.kernels.pallas_fft import rfft_pallas
+        return rfft_pallas(x, n, axis=axis)
+    return jnp.fft.rfft(x, n=n, axis=axis)
+
+
+def irfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto") -> jnp.ndarray:
+    """Inverse rFFT to real length-n output along ``axis``."""
+    impl = _resolve(impl, n)
+    if impl == "matmul":
+        from fft_tpu.kernels.matfft import irfft_matmul
+        return irfft_matmul(x, n, axis=axis)
+    if impl == "pallas":
+        from fft_tpu.kernels.pallas_fft import irfft_pallas
+        return irfft_pallas(x, n, axis=axis)
+    return jnp.fft.irfft(x, n=n, axis=axis)
