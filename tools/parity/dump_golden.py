@@ -151,17 +151,22 @@ def main():
         v_prompt = head.W_v(prompt)
         cache = ref.PrefixFFTCache(n_fft, 16, device=prompt.device)
         cache.prefill(q_prompt, v_prompt)
-        outs, cache_fft = [], []
+        outs, cache_fft, descrs = [], [], []
         for i in range(extra.shape[0]):
             q_t = head.W_q(extra[i])
             v_t = head.W_v(extra[i])
             outs.append(t2n(head.decode_step(q_t, v_t, cache)))
-            cache_fft.append(t2n(cache.prefix_fft))
+            # .clone(): prefix_fft is mutated in place; without it every
+            # saved entry would alias the final state.
+            cache_fft.append(t2n(cache.prefix_fft.clone()))
+            descrs.append(t2n(head.q_norm(
+                (cache.sum_q / cache.N).unsqueeze(0)).squeeze(0).clone()))
         # forward on the final window for the decode==forward invariant
         window = torch.cat([prompt, extra], dim=0)[-n_fft:]
         fwd, _ = head(window.unsqueeze(0), return_q_pool=True)
     save("decode", prompt=t2n(prompt), extra=t2n(extra),
          outs=np.stack(outs), cache_fft=np.stack(cache_fft),
+         descrs=np.stack(descrs),
          fwd_window=t2n(fwd.squeeze(0)), **state_arrays(head))
 
     print("done.")
