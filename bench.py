@@ -1,0 +1,73 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Metric: fwd+bwd tokens/sec/chip of a single SPECTRE block at BASELINE
+config 1 (B=8, L=1024, d_model=512, reference defaults).  Baseline is the
+reference PyTorch implementation measured in BASELINE.md: 1726 ms/iter ==
+4,747 tok/s (fwd+bwd, fp32, the only runnable first-party anchor — the
+reference publishes no numbers).
+
+Methodology: the TPU here sits behind an async relay where
+``block_until_ready`` returns early and every dispatch pays a ~30-40 ms
+round trip, so per-call wall timing is meaningless.  We instead time a
+k-step dependency chain (lax.scan of grad+update) inside ONE jit with one
+final scalar transfer, at two k values, and take the slope — pure device
+time, RTT cancelled.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fft_tpu.config import SpectreConfig
+from fft_tpu.layers import spectre_block_apply, spectre_block_init
+
+BASELINE_TOKS_PER_S = 8 * 1024 / 1.726          # reference fwd+bwd, CPU fp32
+B, L, D = 8, 1024, 512
+
+
+def main():
+    cfg = SpectreConfig(embed_dim=D, num_heads=8, n_fft=L,
+                        pooling_type="mean", wavelet_on_rate=0.0,
+                        memory_size=16)
+    params = spectre_block_init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (B, L, D))
+
+    def loss(p, x):
+        return jnp.sum(spectre_block_apply(p, cfg, x) ** 2)
+
+    def chain(params, x, k):
+        def body(p, _):
+            g = jax.grad(loss)(p, x)
+            return jax.tree.map(lambda a, b: a - 1e-9 * b, p, g), ()
+        p, _ = jax.lax.scan(body, params, None, length=k)
+        return p["ln1"]["scale"][0]
+
+    k_lo, k_hi = 5, 25
+    f_lo = jax.jit(lambda p, x: chain(p, x, k_lo))
+    f_hi = jax.jit(lambda p, x: chain(p, x, k_hi))
+    float(np.asarray(f_lo(params, x)))           # compile + sanity transfer
+    float(np.asarray(f_hi(params, x)))
+
+    def timed(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(f(params, x)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(f_hi) - timed(f_lo)) / (k_hi - k_lo)
+    toks_per_s = B * L / dt
+    print(json.dumps({
+        "metric": "spectre_block_fwdbwd_tokens_per_sec_per_chip",
+        "value": round(toks_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_s / BASELINE_TOKS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

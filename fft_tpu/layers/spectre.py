@@ -111,6 +111,85 @@ def _pool_descriptor(params, cfg: SpectreHeadConfig, q: jnp.ndarray):
     return layernorm_apply(params["q_norm"], pooled)
 
 
+def spectre_head_apply_causal(
+    params,
+    cfg: SpectreHeadConfig,
+    x: jnp.ndarray,                      # (B, N, d) tokens of one head
+    *,
+    causal_chunk: int = 128,
+    memory_fft: Optional[jnp.ndarray] = None,   # (F_half, d) complex
+    dropout_rng=None,
+    deterministic: bool = True,
+):
+    """Causal ("prefix") spectral gating — a framework addition: the
+    reference forward is non-causal (global FFT over the window; only its
+    decode path is incremental — SURVEY §2.4).
+
+    Construction:
+    - The gate descriptor for chunk c pools STRICTLY-PAST tokens (cumulative
+      mean up to the previous chunk boundary), so no future leak.
+    - The mixing kernel k_c = irfft(gate_c) is applied as a **linear** (not
+      circular) convolution over the past via a 2N-point FFT; taps cover the
+      last n_fft tokens exactly like the decode window.  At causal_chunk=1
+      this is bit-identical to the decode path's math; larger chunks trade a
+      <=chunk-token descriptor lag for fewer gate computations.
+    - Spectral memory adds irfft(memory)[p] in time, matching both the
+      non-causal forward and decode (for p < n_fft).
+
+    Requires N <= n_fft and mean pooling (streaming-consistent); the wavelet
+    branch is non-causal and must be off in causal models.
+    """
+    b, n, d = x.shape
+    assert n <= cfg.n_fft, f"sequence {n} exceeds n_fft {cfg.n_fft}"
+    assert cfg.pooling_type == "mean", (
+        "causal mode uses the streaming (mean) descriptor")
+    n_chunks = -(-n // causal_chunk)
+
+    q = linear_apply(params["w_q"], x)
+    v = linear_apply(params["w_v"], x)
+
+    # Causal cumulative descriptor per chunk: tokens up to and including the
+    # chunk's FIRST position — exactly the decode cache's sum_q at that
+    # step, so causal_chunk=1 reproduces decode bit-for-bit.  (Divide by
+    # n_fft as the decode path does; harmless post-LN.)
+    csum = jnp.cumsum(q, axis=-2)                            # (B, N, d)
+    starts = jnp.arange(n_chunks) * causal_chunk
+    prev = jnp.take(csum, starts, axis=-2)                   # (B, nc, d)
+    descr = layernorm_apply(params["q_norm"], prev / cfg.n_fft)
+    gate = spectre_gate(params, cfg, descr)                  # (B, nc, G, F)
+
+    # Kernel to the 2N grid: k_c = irfft_N(gate_c), zero-padded, rfft_2N.
+    n2 = 2 * cfg.n_fft
+    k_time = fftops.irfft(gate, cfg.n_fft, axis=-1, impl=cfg.fft_impl)
+    gate2 = fftops.rfft(k_time, n2, axis=-1, impl=cfg.fft_impl)
+    gate2 = jnp.repeat(jnp.moveaxis(gate2, -2, -1)[..., None],
+                       cfg.d_group, axis=-1)                 # (B,nc,F2,1*d_g)
+    gate2 = gate2.reshape(b, n_chunks, n2 // 2 + 1, d)
+
+    vf = fftops.rfft(v, n2, axis=-2, impl=cfg.fft_impl)      # (B, F2, d)
+
+    def chunk_out(c):
+        y = fftops.irfft(gate2[:, c] * vf, n2, axis=-2, impl=cfg.fft_impl)
+        return jax.lax.dynamic_slice_in_dim(
+            y, c * causal_chunk, causal_chunk, axis=-2)
+
+    y = jax.lax.map(chunk_out, jnp.arange(n_chunks))         # (nc, B, C, d)
+    y = jnp.moveaxis(y, 0, 1).reshape(b, n_chunks * causal_chunk, d)[:, :n]
+
+    if memory_fft is not None:
+        mem_time = fftops.irfft(memory_fft[None], cfg.n_fft, axis=-2,
+                                impl=cfg.fft_impl)[0]
+        y = y + mem_time[:n]
+
+    q_pool = layernorm_apply(params["q_norm"],
+                             jnp.sum(q, axis=-2) / cfg.n_fft)
+    if not deterministic and cfg.dropout_p > 0.0:
+        keep = 1.0 - cfg.dropout_p
+        mask = jax.random.bernoulli(dropout_rng, keep, y.shape)
+        y = jnp.where(mask, y / keep, 0.0)
+    return y, q_pool
+
+
 def spectre_head_apply(
     params,
     cfg: SpectreHeadConfig,
@@ -261,10 +340,20 @@ def spectre_multihead_apply(
         args.append(None)
         in_axes.append(None)
 
-    def run(hp, xi, mem, drng):
-        return spectre_head_apply(
-            hp, hcfg, xi, pos_phase=pos_phase, memory_fft=mem,
-            dropout_rng=drng, deterministic=deterministic)
+    if cfg.causal:
+        assert cfg.wavelet_on_rate == 0.0, (
+            "the wavelet branch is non-causal; set wavelet_on_rate=0 for "
+            "causal models")
+
+        def run(hp, xi, mem, drng):
+            return spectre_head_apply_causal(
+                hp, hcfg, xi, causal_chunk=cfg.causal_chunk, memory_fft=mem,
+                dropout_rng=drng, deterministic=deterministic)
+    else:
+        def run(hp, xi, mem, drng):
+            return spectre_head_apply(
+                hp, hcfg, xi, pos_phase=pos_phase, memory_fft=mem,
+                dropout_rng=drng, deterministic=deterministic)
 
     mixed, q_pools = jax.vmap(run, in_axes=tuple(in_axes))(*args)
     mixed = jnp.moveaxis(mixed, 0, 2).reshape(b, n, d)       # concat heads

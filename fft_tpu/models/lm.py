@@ -1,0 +1,180 @@
+"""SPECTRE language models (BASELINE.json configs 2 and 4).
+
+The reference ships no models (SURVEY §2.4); this is the framework's causal
+LM: token + learned positional embeddings, a stack of SPECTRE blocks run
+under ``lax.scan`` (one compiled block body regardless of depth), final
+LayerNorm, and a (tied) LM head.  Causal spectral gating
+(``SpectreConfig.causal=True``) keeps training consistent with the O(F)
+streaming decode path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from fft_tpu.config import SpectreConfig
+from fft_tpu.decode import (
+    PrefixFFTCache, cache_init, spectre_block_decode_step,
+)
+from fft_tpu.layers import spectre_block_apply, spectre_block_init
+from fft_tpu.layers.common import layernorm_apply, layernorm_init
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    vocab_size: int
+    num_layers: int
+    block: SpectreConfig
+    max_seq: int
+    tie_embeddings: bool = True
+    emb_init_std: float = 0.02
+
+    @property
+    def embed_dim(self) -> int:
+        return self.block.embed_dim
+
+    def __post_init__(self):
+        assert self.max_seq <= self.block.n_fft or not self.block.causal, (
+            "causal LM sequences must fit the spectral window")
+
+
+def tiny_lm_config(vocab_size: int = 256, seq: int = 2048) -> LMConfig:
+    """Config 2: 6-layer tiny LM, d=512, 8 heads, char-level, seq 2048."""
+    return LMConfig(
+        vocab_size=vocab_size,
+        num_layers=6,
+        max_seq=seq,
+        block=SpectreConfig(
+            embed_dim=512, num_heads=8, n_fft=seq, pooling_type="mean",
+            wavelet_on_rate=0.0, causal=True, causal_chunk=128,
+            memory_size=0),
+    )
+
+
+def spectre_350m_config(vocab_size: int = 50432, seq: int = 16384) -> LMConfig:
+    """Config 4: long-context causal SPECTRE-350M, seq 16k-64k."""
+    return LMConfig(
+        vocab_size=vocab_size,
+        num_layers=24,
+        max_seq=seq,
+        block=SpectreConfig(
+            embed_dim=1024, num_heads=16, n_fft=seq, pooling_type="mean",
+            wavelet_on_rate=0.0, causal=True, causal_chunk=512,
+            memory_size=0),
+    )
+
+
+def lm_init(key, cfg: LMConfig, dtype=jnp.float32):
+    ke, kp, kb, kh = jax.random.split(key, 4)
+    d = cfg.embed_dim
+    layer_keys = jax.random.split(kb, cfg.num_layers)
+    blocks = jax.vmap(
+        lambda k: spectre_block_init(k, cfg.block, dtype))(layer_keys)
+    params = {
+        "tok_emb": jax.random.normal(ke, (cfg.vocab_size, d), dtype)
+        * cfg.emb_init_std,
+        "pos_emb": jax.random.normal(kp, (cfg.max_seq, d), dtype)
+        * cfg.emb_init_std,
+        "blocks": blocks,                      # stacked over layers
+        "ln_f": layernorm_init(d, dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = jax.random.normal(kh, (d, cfg.vocab_size),
+                                              dtype) * cfg.emb_init_std
+    return params
+
+
+def _run_blocks(params, cfg: LMConfig, h, rngs, deterministic):
+    """Scan the block stack: one compiled body for all layers."""
+    if rngs is None:
+        layer_rngs = jnp.zeros((cfg.num_layers, 2), jnp.uint32)
+        use_rngs = False
+    else:
+        base = rngs.get("dropout", jax.random.key(0))
+        layer_rngs = jax.random.split(base, cfg.num_layers)
+        use_rngs = True
+
+    def body(h, xs):
+        block_params, rng = xs
+        r = {"dropout": rng, "wavelet": jax.random.fold_in(rng, 1)} \
+            if use_rngs else None
+        h = spectre_block_apply(block_params, cfg.block, h, rngs=r,
+                                deterministic=deterministic)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, (params["blocks"], layer_rngs))
+    return h
+
+
+def lm_apply(params, cfg: LMConfig, tokens: jnp.ndarray, *,
+             rngs: Optional[dict] = None, deterministic: bool = True):
+    """tokens (B, N) int32 -> logits (B, N, vocab)."""
+    n = tokens.shape[-1]
+    h = params["tok_emb"][tokens] + params["pos_emb"][:n]
+    h = _run_blocks(params, cfg, h, rngs, deterministic)
+    h = layernorm_apply(params["ln_f"], h)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return h @ head
+
+
+def lm_decode_init(cfg: LMConfig, batch: int) -> PrefixFFTCache:
+    """Stacked per-layer decode caches (leading axis = layer)."""
+    one = cache_init(batch, cfg.block.num_heads, cfg.block.n_fft,
+                     cfg.block.head_dim)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (cfg.num_layers,) + x.shape), one)
+
+
+def lm_decode_step(params, cfg: LMConfig, token: jnp.ndarray, pos,
+                   caches: PrefixFFTCache):
+    """One autoregressive step: token (B,) int32 at position ``pos`` ->
+    (logits (B, vocab), updated caches)."""
+    h = params["tok_emb"][token] + params["pos_emb"][pos]
+
+    def body(h, xs):
+        block_params, cache = xs
+        h, cache = spectre_block_decode_step(block_params, cfg.block, h, cache)
+        return h, cache
+
+    h, caches = jax.lax.scan(body, h, (params["blocks"], caches))
+    h = layernorm_apply(params["ln_f"], h)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return h @ head, caches
+
+
+def lm_generate(params, cfg: LMConfig, prompt: jnp.ndarray, steps: int,
+                *, rng=None, temperature: float = 0.0):
+    """Greedy/sampled generation from a (B, L) prompt via the O(F) decode
+    path.  Returns (B, steps) generated tokens."""
+    b, length = prompt.shape
+    caches = lm_decode_init(cfg, b)
+
+    # Feed the prompt token by token (prefill-by-decode keeps one code path;
+    # a batched prefill fast path can replace this without changing results).
+    def feed(carry, i):
+        caches, _ = carry
+        logits, caches = lm_decode_step(params, cfg, prompt[:, i], i, caches)
+        return (caches, logits), None
+
+    (caches, logits), _ = jax.lax.scan(
+        feed, (caches, jnp.zeros((b, cfg.vocab_size))), jnp.arange(length))
+
+    def sample(logits, key):
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits / temperature, axis=-1)
+
+    def gen(carry, i):
+        caches, logits, key = carry
+        key, sub = jax.random.split(key)
+        tok = sample(logits, sub)
+        logits, caches = lm_decode_step(params, cfg, tok, length + i, caches)
+        return (caches, logits, key), tok
+
+    key0 = rng if rng is not None else jax.random.key(0)
+    _, toks = jax.lax.scan(gen, (caches, logits, key0), jnp.arange(steps))
+    return jnp.moveaxis(toks, 0, 1)                          # (B, steps)

@@ -1,0 +1,95 @@
+"""Training loop: optax AdamW with frozen-memory masking, LM/classification
+losses, pure train_step (jit/pjit-able).
+
+The reference has no training machinery (SURVEY §3.5); gradient flow rules
+come from its semantics: everything trains except the frozen spectral memory
+(spectre.py:959) and the detached wavelet path (spectre.py:885) — the former
+enforced both by stop_gradient in the layer and an optimizer mask here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 3e-4
+    weight_decay: float = 0.01
+    beta1: float = 0.9
+    beta2: float = 0.95
+    warmup_steps: int = 100
+    total_steps: int = 10000
+    grad_clip: float = 1.0
+    min_lr_ratio: float = 0.1
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def _trainable_mask(params):
+    """False for frozen leaves (the spectral memory banks)."""
+    def mask(path, leaf):
+        return not any(
+            getattr(p, "key", None) == "memory_fft" for p in path)
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def make_optimizer(tcfg: TrainConfig, params) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=tcfg.learning_rate,
+        warmup_steps=tcfg.warmup_steps,
+        decay_steps=max(tcfg.total_steps, tcfg.warmup_steps + 1),
+        end_value=tcfg.learning_rate * tcfg.min_lr_ratio,
+    )
+    opt = optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.adamw(schedule, b1=tcfg.beta1, b2=tcfg.beta2,
+                    weight_decay=tcfg.weight_decay),
+    )
+    return optax.masked(opt, _trainable_mask(params))
+
+
+def lm_loss(params, model_cfg, tokens: jnp.ndarray, *,
+            rngs: Optional[dict] = None, deterministic: bool = False):
+    """Next-token cross entropy; tokens (B, N+1) -> scalar mean nats."""
+    from fft_tpu.models.lm import lm_apply
+    inputs, targets = tokens[:, :-1], tokens[:, 1:]
+    logits = lm_apply(params, model_cfg, inputs, rngs=rngs,
+                      deterministic=deterministic)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    return jnp.mean(losses)
+
+
+def train_init(key, params, tcfg: TrainConfig) -> tuple[TrainState, Any]:
+    opt = make_optimizer(tcfg, params)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.asarray(0, jnp.int32), rng=key), opt
+
+
+def train_step(state: TrainState, batch: jnp.ndarray, *, model_cfg,
+               optimizer) -> tuple[TrainState, dict]:
+    """One optimizer step on an LM batch (B, N+1).  Pure; jit/pjit it."""
+    rng, step_rng = jax.random.split(state.rng)
+
+    def loss_fn(p):
+        return lm_loss(p, model_cfg, batch,
+                       rngs={"dropout": step_rng}, deterministic=False)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    gnorm = optax.global_norm(grads)
+    metrics = {"loss": loss, "grad_norm": gnorm, "step": state.step}
+    return TrainState(params, opt_state, state.step + 1, rng), metrics
