@@ -49,22 +49,19 @@ def _prime_factors(n: int) -> Optional[List[int]]:
 
 
 @functools.lru_cache(maxsize=None)
-def plan_factors(n: int) -> Optional[Tuple[int, ...]]:
-    """Radix plan for ``rfft_matmul`` of length ``n``: factors of the packed
-    complex transform length n/2, each <= 128, roughly balanced.  None if the
-    size is unsupported (odd n, or a prime factor > 128)."""
-    if n < 4 or n % 2:
+def cfft_factors(n: int) -> Optional[Tuple[int, ...]]:
+    """Radix plan for a COMPLEX DFT of length n: factors <= 128, roughly
+    balanced.  None if a prime factor exceeds 128."""
+    if n < 1:
         return None
-    n2 = n // 2
-    if n2 & (n2 - 1) == 0:  # power of two: balanced 2^ceil(k/m) factors
-        k = n2.bit_length() - 1
-        if k == 0:
-            return (1,)
+    if n == 1:
+        return (1,)
+    if n & (n - 1) == 0:  # power of two: balanced 2^ceil(k/m) factors
+        k = n.bit_length() - 1
         m = math.ceil(k / 7)
         base, rem = divmod(k, m)
-        factors = tuple(2 ** (base + (1 if i < rem else 0)) for i in range(m))
-        return factors
-    primes = _prime_factors(n2)
+        return tuple(2 ** (base + (1 if i < rem else 0)) for i in range(m))
+    primes = _prime_factors(n)
     if primes is None:
         return None
     primes.sort(reverse=True)
@@ -78,6 +75,15 @@ def plan_factors(n: int) -> Optional[Tuple[int, ...]]:
             factors.append(p)
     factors.sort(reverse=True)
     return tuple(factors)
+
+
+def plan_factors(n: int) -> Optional[Tuple[int, ...]]:
+    """Radix plan for ``rfft_matmul`` of length ``n``: factors of the packed
+    complex transform length n/2.  None if unsupported (odd n, or a prime
+    factor > 128)."""
+    if n < 4 or n % 2:
+        return None
+    return cfft_factors(n // 2)
 
 
 # The cached constants below are **numpy** arrays: caching jnp arrays would

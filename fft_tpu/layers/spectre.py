@@ -199,16 +199,19 @@ def spectre_head_apply(
     memory_fft: Optional[jnp.ndarray] = None,   # (F_half, d) complex
     dropout_rng=None,
     deterministic: bool = True,
+    sp_mesh=None,                        # Mesh with a 'seq' axis -> SP mix
 ):
     """Full-sequence forward (spectre.py:479-557).  Requires N <= n_fft.
-    Returns (mixed (B, N, d), q_pool (B, d))."""
+    Returns (mixed (B, N, d), q_pool (B, d)).
+
+    With ``sp_mesh`` the FFT->gate->iFFT runs as the distributed four-step
+    over the mesh's 'seq' axis (requires N == n_fft); everything else
+    (projections, pooling) is GSPMD-sharded automatically."""
     n = x.shape[-2]
     assert n <= cfg.n_fft, f"sequence {n} exceeds n_fft {cfg.n_fft}"
 
     q = linear_apply(params["w_q"], x)
     v = linear_apply(params["w_v"], x)
-
-    v_fft = fftops.rfft(v, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
 
     q_pool = _pool_descriptor(params, cfg, q)                 # (B, d)
     gate = spectre_gate(params, cfg, q_pool)                  # (B, G, F_half)
@@ -221,12 +224,17 @@ def spectre_head_apply(
     # (B, G, F) -> (B, F, G) -> repeat groups over channels -> (B, F, d).
     gate_bc = jnp.repeat(jnp.swapaxes(gate, -1, -2), cfg.d_group, axis=-1)
 
-    mixed = gate_bc * v_fft
-    if memory_fft is not None:
-        mixed = mixed + memory_fft
-
-    v_time = fftops.irfft(mixed, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
-    out = v_time[..., :n, :]
+    if sp_mesh is not None:
+        from fft_tpu.parallel.dist_fft import sp_spectral_mix
+        out = sp_spectral_mix(v, gate_bc, memory_fft,
+                              n_fft=cfg.n_fft, mesh=sp_mesh)
+    else:
+        v_fft = fftops.rfft(v, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
+        mixed = gate_bc * v_fft
+        if memory_fft is not None:
+            mixed = mixed + memory_fft
+        v_time = fftops.irfft(mixed, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
+        out = v_time[..., :n, :]
 
     if not deterministic and cfg.dropout_p > 0.0:
         keep = 1.0 - cfg.dropout_p
@@ -317,6 +325,7 @@ def spectre_multihead_apply(
     memory_fft: Optional[jnp.ndarray] = None,   # (F_half, d) complex
     rngs: Optional[dict] = None,
     deterministic: bool = True,
+    sp_mesh=None,
 ):
     b, n, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
@@ -350,10 +359,16 @@ def spectre_multihead_apply(
                 hp, hcfg, xi, causal_chunk=cfg.causal_chunk, memory_fft=mem,
                 dropout_rng=drng, deterministic=deterministic)
     else:
+        if sp_mesh is not None:
+            assert cfg.wavelet_on_rate == 0.0, (
+                "wavelet refinement is not sequence-shardable; set "
+                "wavelet_on_rate=0 under sequence parallelism")
+
         def run(hp, xi, mem, drng):
             return spectre_head_apply(
                 hp, hcfg, xi, pos_phase=pos_phase, memory_fft=mem,
-                dropout_rng=drng, deterministic=deterministic)
+                dropout_rng=drng, deterministic=deterministic,
+                sp_mesh=sp_mesh)
 
     mixed, q_pools = jax.vmap(run, in_axes=tuple(in_axes))(*args)
     mixed = jnp.moveaxis(mixed, 0, 2).reshape(b, n, d)       # concat heads
@@ -404,6 +419,7 @@ def spectre_block_apply(
     *,
     rngs: Optional[dict] = None,
     deterministic: bool = True,
+    sp_mesh=None,
 ):
     """Pre-LN residual block: x + mix(LN(x), memory) ; x + MLP(LN(x))
     (spectre.py:967-982)."""
@@ -418,7 +434,8 @@ def spectre_block_apply(
                 ((0, cfg.f_half - cfg.memory_freq_bins), (0, 0)))
     x = x + spectre_multihead_apply(
         params["mix"], cfg, layernorm_apply(params["ln1"], x),
-        memory_fft=memory_fft, rngs=rngs, deterministic=deterministic)
+        memory_fft=memory_fft, rngs=rngs, deterministic=deterministic,
+        sp_mesh=sp_mesh)
     h = layernorm_apply(params["ln2"], x)
     h = linear_apply(params["mlp"]["fc2"],
                      gelu_exact(linear_apply(params["mlp"]["fc1"], h)))
