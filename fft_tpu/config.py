@@ -38,6 +38,10 @@ class SpectreHeadConfig:
     # §3.6-C2); "consistent" divides by the true token count.
     decode_descriptor: str = "reference"
     fft_impl: str = "auto"             # "auto" | "jnp" | "matmul" | "pallas"
+    # Mixed precision: GEMMs/activations run in this dtype (bfloat16 for
+    # MXU speed); FFTs, layernorm statistics, and the complex gate math stay
+    # fp32.  Parity target at bfloat16 is <=1e-2 (BASELINE.md).
+    compute_dtype: str = "float32"     # "float32" | "bfloat16"
     # Reproduce the reference cubic path's real/imag scrambling across gate
     # groups (spectre.py:42 reshape bug, see ops/interp.py) for parity.
     interp_reference_compat: bool = False
@@ -85,6 +89,7 @@ class SpectreConfig:
     # --- framework extensions ---
     decode_descriptor: str = "reference"
     fft_impl: str = "auto"
+    compute_dtype: str = "float32"
     interp_reference_compat: bool = False
     # Reference wavelet arithmetic is not a perfect-reconstruction pair
     # (SURVEY §3.6-D); default uses our PR Haar pyramid, compat flag
@@ -119,6 +124,7 @@ class SpectreConfig:
             pooling_type=self.pooling_type,
             decode_descriptor=self.decode_descriptor,
             fft_impl=self.fft_impl,
+            compute_dtype=self.compute_dtype,
             interp_reference_compat=self.interp_reference_compat,
         )
 

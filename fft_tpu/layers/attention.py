@@ -1,0 +1,161 @@
+"""Causal sliding-window attention (for the hybrid model, BASELINE config 5).
+
+TPU-native blockwise formulation: the sequence is split into static blocks
+of ``window`` tokens; each block attends to itself and the previous block
+under a causal + window-band mask.  All shapes static, einsum-only — O(N*W*d)
+and MXU-friendly.  This is the layer family where classic context
+parallelism (halo exchange of the previous KV block over the 'seq' axis)
+applies; the SPECTRE layers use the distributed-FFT path instead.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fft_tpu.layers.common import (
+    gelu_exact, layernorm_apply, layernorm_init, linear_apply, linear_init,
+)
+
+
+def swa_init(key, embed_dim: int, num_heads: int, dtype=jnp.float32):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "w_q": linear_init(kq, embed_dim, embed_dim, bias=False, dtype=dtype),
+        "w_k": linear_init(kk, embed_dim, embed_dim, bias=False, dtype=dtype),
+        "w_v": linear_init(kv, embed_dim, embed_dim, bias=False, dtype=dtype),
+        "w_o": linear_init(ko, embed_dim, embed_dim, bias=False, dtype=dtype),
+    }
+
+
+def sliding_window_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window: int
+) -> jnp.ndarray:
+    """q, k, v: (B, N, H, hd); causal attention restricted to the last
+    ``window`` tokens.  N must be a multiple of ``window``."""
+    b, n, h, hd = q.shape
+    w = window
+    assert n % w == 0, (n, w)
+    nb = n // w
+    scale = 1.0 / math.sqrt(hd)
+
+    qb = q.reshape(b, nb, w, h, hd)
+    kb = k.reshape(b, nb, w, h, hd)
+    vb = v.reshape(b, nb, w, h, hd)
+    # keys/values for block i: blocks i-1 and i (2W tokens)
+    k_prev = jnp.pad(kb[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    v_prev = jnp.pad(vb[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    k2 = jnp.concatenate([k_prev, kb], axis=2)            # (B, nb, 2W, H, hd)
+    v2 = jnp.concatenate([v_prev, vb], axis=2)
+
+    scores = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, k2,
+                        preferred_element_type=jnp.float32) * scale
+
+    # mask: query position (in-block) i attends key position j of the 2W
+    # span iff 0 < (i + W - j) <= W  (causal, window length W), and block 0
+    # has no previous block.
+    qi = jnp.arange(w)[:, None]
+    kj = jnp.arange(2 * w)[None, :]
+    dist = qi + w - kj
+    band = (dist >= 0) & (dist < w)                        # (W, 2W)
+    first_block = jnp.arange(nb)[:, None, None] == 0
+    valid = band[None] & ~(first_block & (kj[None] < w))
+    scores = jnp.where(valid[None, :, None], scores, -jnp.inf)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, v2)
+    return out.reshape(b, n, h, hd)
+
+
+def swa_apply(params, x: jnp.ndarray, num_heads: int, window: int
+              ) -> jnp.ndarray:
+    """(B, N, d) -> (B, N, d) causal sliding-window multi-head attention."""
+    b, n, d = x.shape
+    hd = d // num_heads
+    q = linear_apply(params["w_q"], x).reshape(b, n, num_heads, hd)
+    k = linear_apply(params["w_k"], x).reshape(b, n, num_heads, hd)
+    v = linear_apply(params["w_v"], x).reshape(b, n, num_heads, hd)
+    out = sliding_window_attention(q, k, v, window).reshape(b, n, d)
+    return linear_apply(params["w_o"], out)
+
+
+def swa_block_init(key, embed_dim: int, num_heads: int, mlp_ratio: int = 4,
+                   dtype=jnp.float32):
+    ka, k1, k2 = jax.random.split(key, 3)
+    return {
+        "ln1": layernorm_init(embed_dim, dtype),
+        "attn": swa_init(ka, embed_dim, num_heads, dtype),
+        "ln2": layernorm_init(embed_dim, dtype),
+        "mlp": {
+            "fc1": linear_init(k1, embed_dim, mlp_ratio * embed_dim,
+                               dtype=dtype),
+            "fc2": linear_init(k2, mlp_ratio * embed_dim, embed_dim,
+                               dtype=dtype),
+        },
+    }
+
+
+def swa_block_apply(params, x: jnp.ndarray, num_heads: int, window: int,
+                    compute_dtype=None) -> jnp.ndarray:
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    x = x + swa_apply(params["attn"], layernorm_apply(params["ln1"], x),
+                      num_heads, window)
+    h = layernorm_apply(params["ln2"], x)
+    h = linear_apply(params["mlp"]["fc2"],
+                     gelu_exact(linear_apply(params["mlp"]["fc1"], h)))
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# Decode cache for sliding-window attention
+# ---------------------------------------------------------------------------
+
+class SWACache(NamedTuple):
+    """Ring-buffer KV cache over the attention window."""
+    k_buf: jnp.ndarray   # (B, H, W, hd)
+    v_buf: jnp.ndarray   # (B, H, W, hd)
+    t: jnp.ndarray       # () int32 last filled position
+
+
+def swa_cache_init(batch: int, num_heads: int, window: int, head_dim: int,
+                   dtype=jnp.float32) -> SWACache:
+    shape = (batch, num_heads, window, head_dim)
+    return SWACache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                    jnp.asarray(-1, jnp.int32))
+
+
+def swa_block_decode_step(params, x_t: jnp.ndarray, cache: SWACache,
+                          num_heads: int) -> Tuple[jnp.ndarray, SWACache]:
+    """Single-token decode: attend over the ring window."""
+    b, d = x_t.shape
+    hd = d // num_heads
+    w = cache.k_buf.shape[-2]
+    h_ln = layernorm_apply(params["ln1"], x_t)
+    q = linear_apply(params["attn"]["w_q"], h_ln).reshape(b, num_heads, hd)
+    k = linear_apply(params["attn"]["w_k"], h_ln).reshape(b, num_heads, hd)
+    v = linear_apply(params["attn"]["w_v"], h_ln).reshape(b, num_heads, hd)
+
+    t = cache.t + 1
+    j = jnp.mod(t, w)
+    k_buf = jax.lax.dynamic_update_slice_in_dim(
+        cache.k_buf, k[..., None, :], j, axis=2)
+    v_buf = jax.lax.dynamic_update_slice_in_dim(
+        cache.v_buf, v[..., None, :], j, axis=2)
+
+    scores = jnp.einsum("bhd,bhwd->bhw", q, k_buf,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd)
+    slot_valid = jnp.arange(w) <= t                        # before first wrap
+    scores = jnp.where(slot_valid, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x_t.dtype)
+    attn = jnp.einsum("bhw,bhwd->bhd", probs, v_buf).reshape(b, d)
+    x_t = x_t + linear_apply(params["attn"]["w_o"], attn)
+
+    h2 = layernorm_apply(params["ln2"], x_t)
+    h2 = linear_apply(params["mlp"]["fc2"],
+                      gelu_exact(linear_apply(params["mlp"]["fc1"], h2)))
+    return x_t + h2, SWACache(k_buf, v_buf, t)

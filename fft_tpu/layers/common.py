@@ -23,9 +23,11 @@ def linear_init(key, fan_in: int, fan_out: int, bias: bool = True,
 
 
 def linear_apply(p, x):
-    y = x @ p["w"]
+    """x @ w + b in x's dtype (params are cast down for bf16 compute; params
+    themselves stay fp32 masters)."""
+    y = x @ p["w"].astype(x.dtype)
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(x.dtype)
     return y
 
 
@@ -35,11 +37,14 @@ def layernorm_init(dim: int, dtype=jnp.float32):
 
 def layernorm_apply(p, x, eps: float = 1e-5):
     """LayerNorm over the last axis, torch convention (biased variance,
-    eps inside the sqrt, default eps 1e-5)."""
+    eps inside the sqrt, default eps 1e-5).  Statistics in fp32 regardless
+    of the compute dtype; output in x's dtype."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean) * inv * p["scale"] + p["bias"]
+    return ((x - mean) * inv * p["scale"] + p["bias"]).astype(dtype)
 
 
 def gelu_exact(x):

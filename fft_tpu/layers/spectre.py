@@ -84,7 +84,7 @@ def spectre_gate(params, cfg: SpectreHeadConfig, descriptor: jnp.ndarray):
     decode (spectre.py:579-591).
     """
     h = gelu_exact(linear_apply(params["gate_mlp"]["fc1"], descriptor))
-    raw = linear_apply(params["gate_mlp"]["fc2"], h)
+    raw = linear_apply(params["gate_mlp"]["fc2"], h).astype(jnp.float32)
     raw = raw.reshape(*raw.shape[:-1], cfg.num_groups, cfg.buckets, 2)
     anchor = jax.lax.complex(raw[..., 0], raw[..., 1])       # (..., G, Bk)
     if cfg.use_toeplitz:
@@ -181,6 +181,7 @@ def spectre_head_apply_causal(
                                 impl=cfg.fft_impl)[0]
         y = y + mem_time[:n]
 
+    y = y.astype(x.dtype)
     q_pool = layernorm_apply(params["q_norm"],
                              jnp.sum(q, axis=-2) / cfg.n_fft)
     if not deterministic and cfg.dropout_p > 0.0:
@@ -235,6 +236,7 @@ def spectre_head_apply(
             mixed = mixed + memory_fft
         v_time = fftops.irfft(mixed, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
         out = v_time[..., :n, :]
+    out = out.astype(x.dtype)
 
     if not deterministic and cfg.dropout_p > 0.0:
         keep = 1.0 - cfg.dropout_p
@@ -422,7 +424,8 @@ def spectre_block_apply(
     sp_mesh=None,
 ):
     """Pre-LN residual block: x + mix(LN(x), memory) ; x + MLP(LN(x))
-    (spectre.py:967-982)."""
+    (spectre.py:967-982).  Runs in cfg.compute_dtype (params stay fp32)."""
+    x = x.astype(cfg.compute_dtype)
     memory_pair = params.get("memory_fft")            # real (2, bins, d)
     memory_fft = None
     if memory_pair is not None:

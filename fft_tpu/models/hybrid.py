@@ -1,0 +1,149 @@
+"""Hybrid LM: interleaved SPECTRE + causal sliding-window attention layers
+(BASELINE.json config 5: 1B params, seq 32k).
+
+Layer pattern: repeating groups of (spectre_per_group SPECTRE blocks +
+1 sliding-window attention block), scanned over stacked group params — the
+spectral layers carry global context; the attention layers sharpen local
+structure within a window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fft_tpu.config import SpectreConfig
+from fft_tpu.decode import (
+    PrefixFFTCache, cache_init, spectre_block_decode_step,
+)
+from fft_tpu.layers import spectre_block_apply, spectre_block_init
+from fft_tpu.layers.attention import (
+    SWACache, swa_block_apply, swa_block_decode_step, swa_block_init,
+    swa_cache_init,
+)
+from fft_tpu.layers.common import layernorm_apply, layernorm_init
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridConfig:
+    vocab_size: int
+    num_groups: int                      # layer groups
+    spectre_per_group: int               # SPECTRE blocks per group
+    block: SpectreConfig                 # SPECTRE block config (causal)
+    attn_heads: int
+    attn_window: int
+    max_seq: int
+    tie_embeddings: bool = True
+
+    @property
+    def embed_dim(self) -> int:
+        return self.block.embed_dim
+
+    @property
+    def num_layers(self) -> int:
+        return self.num_groups * (self.spectre_per_group + 1)
+
+
+def hybrid_1b_config(vocab_size: int = 50432, seq: int = 32768
+                     ) -> HybridConfig:
+    """Config 5: ~1B params, d=2048, seq 32k, SWA window 1024."""
+    return HybridConfig(
+        vocab_size=vocab_size,
+        num_groups=8, spectre_per_group=1,   # 8x (SPECTRE + SWA) = 16 layers
+        block=SpectreConfig(
+            embed_dim=2048, num_heads=16, n_fft=seq, pooling_type="mean",
+            wavelet_on_rate=0.0, causal=True, causal_chunk=1024,
+            compute_dtype="bfloat16"),
+        attn_heads=16, attn_window=1024, max_seq=seq,
+    )
+
+
+def hybrid_init(key, cfg: HybridConfig, dtype=jnp.float32):
+    ke, kp, ks, ka = jax.random.split(key, 4)
+    d = cfg.embed_dim
+    s_keys = jax.random.split(ks, cfg.num_groups * cfg.spectre_per_group)
+    a_keys = jax.random.split(ka, cfg.num_groups)
+    spectre_blocks = jax.vmap(
+        lambda k: spectre_block_init(k, cfg.block, dtype))(s_keys)
+    # reshape stacked spectre params to (groups, per_group, ...)
+    spectre_blocks = jax.tree.map(
+        lambda x: x.reshape(cfg.num_groups, cfg.spectre_per_group,
+                            *x.shape[1:]), spectre_blocks)
+    attn_blocks = jax.vmap(
+        lambda k: swa_block_init(k, d, cfg.attn_heads))(a_keys)
+    return {
+        "tok_emb": jax.random.normal(ke, (cfg.vocab_size, d), dtype) * 0.02,
+        "pos_emb": jax.random.normal(kp, (cfg.max_seq, d), dtype) * 0.02,
+        "spectre": spectre_blocks,           # (G, S, ...)
+        "attn": attn_blocks,                 # (G, ...)
+        "ln_f": layernorm_init(d, dtype),
+    }
+
+
+def hybrid_apply(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
+                 rngs: Optional[dict] = None, deterministic: bool = True):
+    """tokens (B, N) -> logits (B, N, vocab)."""
+    n = tokens.shape[-1]
+    h = (params["tok_emb"][tokens] + params["pos_emb"][:n]).astype(
+        cfg.block.compute_dtype)
+
+    def group(h, xs):
+        sp_params, at_params = xs
+
+        def sp_body(h, p):
+            return spectre_block_apply(p, cfg.block, h,
+                                       deterministic=deterministic), None
+
+        h, _ = jax.lax.scan(sp_body, h, sp_params)
+        h = swa_block_apply(at_params, h, cfg.attn_heads, cfg.attn_window,
+                            compute_dtype=cfg.block.compute_dtype)
+        return h, None
+
+    h, _ = jax.lax.scan(group, h, (params["spectre"], params["attn"]))
+    h = layernorm_apply(params["ln_f"], h)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return (h @ head.astype(h.dtype)).astype(jnp.float32)
+
+
+def hybrid_decode_init(cfg: HybridConfig, batch: int):
+    sp_one = cache_init(batch, cfg.block.num_heads, cfg.block.n_fft,
+                        cfg.block.head_dim)
+    sp = jax.tree.map(
+        lambda x: jnp.broadcast_to(
+            x, (cfg.num_groups, cfg.spectre_per_group) + x.shape), sp_one)
+    at_one = swa_cache_init(batch, cfg.attn_heads, cfg.attn_window,
+                            cfg.embed_dim // cfg.attn_heads)
+    at = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (cfg.num_groups,) + x.shape), at_one)
+    return sp, at
+
+
+def hybrid_decode_step(params, cfg: HybridConfig, token: jnp.ndarray, pos,
+                       caches):
+    """One autoregressive step for the hybrid stack."""
+    sp_caches, at_caches = caches
+    h = params["tok_emb"][token] + params["pos_emb"][pos]
+    h = h.astype(cfg.block.compute_dtype)
+
+    def group(h, xs):
+        sp_params, sp_cache, at_params, at_cache = xs
+
+        def sp_body(h, ps):
+            p, c = ps
+            h, c = spectre_block_decode_step(p, cfg.block, h, c)
+            return h, c
+
+        h, sp_cache = jax.lax.scan(sp_body, h, (sp_params, sp_cache))
+        h, at_cache = swa_block_decode_step(at_params, h, at_cache,
+                                            cfg.attn_heads)
+        return h, (sp_cache, at_cache)
+
+    h, (sp_caches, at_caches) = jax.lax.scan(
+        group, h, (params["spectre"], sp_caches, params["attn"], at_caches))
+    h = layernorm_apply(params["ln_f"], h)
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = (h @ head.astype(h.dtype)).astype(jnp.float32)
+    return logits, (sp_caches, at_caches)

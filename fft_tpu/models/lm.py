@@ -114,11 +114,13 @@ def lm_apply(params, cfg: LMConfig, tokens: jnp.ndarray, *,
              rngs: Optional[dict] = None, deterministic: bool = True):
     """tokens (B, N) int32 -> logits (B, N, vocab)."""
     n = tokens.shape[-1]
-    h = params["tok_emb"][tokens] + params["pos_emb"][:n]
+    h = (params["tok_emb"][tokens] + params["pos_emb"][:n]).astype(
+        cfg.block.compute_dtype)
     h = _run_blocks(params, cfg, h, rngs, deterministic)
     h = layernorm_apply(params["ln_f"], h)
     head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
-    return h @ head
+    # logits in fp32 for a stable softmax/loss regardless of compute dtype
+    return (h @ head.astype(h.dtype)).astype(jnp.float32)
 
 
 def lm_decode_init(cfg: LMConfig, batch: int) -> PrefixFFTCache:

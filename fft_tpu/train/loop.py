@@ -71,6 +71,18 @@ def lm_loss(params, model_cfg, tokens: jnp.ndarray, *,
     return jnp.mean(losses)
 
 
+def classification_loss(params, model_cfg, images: jnp.ndarray,
+                        labels: jnp.ndarray, *,
+                        rngs: Optional[dict] = None,
+                        deterministic: bool = False):
+    """Softmax cross entropy for the ViT classifier (config 3)."""
+    from fft_tpu.models.vit import vit_apply
+    logits = vit_apply(params, model_cfg, images, rngs=rngs,
+                       deterministic=deterministic)
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    return jnp.mean(losses)
+
+
 def train_init(key, params, tcfg: TrainConfig) -> tuple[TrainState, Any]:
     opt = make_optimizer(tcfg, params)
     return TrainState(params=params, opt_state=opt.init(params),
