@@ -1,0 +1,242 @@
+"""Command-line entry points for the BASELINE.json workloads.
+
+Usage:
+    python -m fft_tpu.cli train-lm   [--preset tiny|350m] [--steps N]
+                                     [--data FILE] [--batch B] [--seq L]
+                                     [--ckpt DIR] [--resume] [--bf16]
+                                     [--dp N --sp N --tp N]
+    python -m fft_tpu.cli train-vit  [--steps N] [--batch B]
+    python -m fft_tpu.cli generate   [--ckpt DIR] [--prompt TEXT] [--steps N]
+    python -m fft_tpu.cli bench-mix  [--seqs 1024,4096,...] [--batch B]
+
+All commands run hermetically (synthetic data) when no dataset is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _lm_config(args):
+    from fft_tpu.models.lm import spectre_350m_config, tiny_lm_config
+    cfg = (spectre_350m_config(seq=args.seq) if args.preset == "350m"
+           else tiny_lm_config(seq=args.seq))
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg, block=dataclasses.replace(cfg.block,
+                                           compute_dtype="bfloat16"))
+    return cfg
+
+
+def cmd_train_lm(args):
+    from fft_tpu.models.lm import lm_init
+    from fft_tpu.parallel import (lm_batch_sharding, lm_state_shardings,
+                                  make_mesh)
+    from fft_tpu.train import TrainConfig, train_init, train_step
+    from fft_tpu.train.checkpoint import (latest_step, restore_checkpoint,
+                                          save_checkpoint)
+    from fft_tpu.train.data import CharDataset
+    from fft_tpu.utils import MetricsLogger
+
+    cfg = _lm_config(args)
+    tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps)
+    params = lm_init(jax.random.key(args.seed), cfg)
+    state, opt = train_init(jax.random.key(args.seed + 1), params, tcfg)
+
+    mesh = make_mesh(data=args.dp, seq=args.sp, model=args.tp)
+    state_sh = lm_state_shardings(mesh, state)
+    batch_sh = lm_batch_sharding(mesh)
+    state = jax.device_put(state, state_sh)
+
+    start = 0
+    if args.resume and args.ckpt and latest_step(args.ckpt) is not None:
+        state = restore_checkpoint(args.ckpt, state)
+        start = int(np.asarray(state.step))
+        print(f"resumed at step {start}")
+
+    step_fn = jax.jit(lambda s, b: train_step(s, b, model_cfg=cfg,
+                                              optimizer=opt),
+                      in_shardings=(state_sh, batch_sh),
+                      out_shardings=(state_sh, None))
+
+    data = CharDataset(path=args.data)
+    batches = data.batches(args.batch, args.seq, seed=args.seed)
+    logger = MetricsLogger(args.metrics, print_every=args.log_every)
+    tokens_per_step = args.batch * args.seq
+
+    for i, batch in zip(range(start, args.steps), batches):
+        batch = jax.device_put(batch, batch_sh)
+        state, metrics = step_fn(state, batch)
+        if i % args.log_every == 0 or i == args.steps - 1:
+            logger.log(i, {"loss": metrics["loss"],
+                           "grad_norm": metrics["grad_norm"]},
+                       tokens=tokens_per_step)
+        if args.ckpt and (i + 1) % args.ckpt_every == 0:
+            save_checkpoint(args.ckpt, jax.device_get(state), i + 1)
+    if args.ckpt:
+        save_checkpoint(args.ckpt, jax.device_get(state), args.steps)
+    logger.close()
+
+
+def cmd_train_vit(args):
+    import optax
+    from fft_tpu.config import SpectreConfig
+    from fft_tpu.models.vit import ViTConfig, vit_init
+    from fft_tpu.train.loop import classification_loss
+    from fft_tpu.utils import MetricsLogger
+
+    cfg = ViTConfig(num_classes=args.classes, num_layers=args.layers)
+    params = vit_init(jax.random.key(args.seed), cfg)
+    opt = optax.adamw(args.lr)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(args.seed)
+    logger = MetricsLogger(args.metrics, print_every=args.log_every)
+
+    @jax.jit
+    def step(params, opt_state, imgs, labels, key):
+        loss, grads = jax.value_and_grad(classification_loss)(
+            params, cfg, imgs, labels, rngs={"dropout": key},
+            deterministic=False)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.key(args.seed)
+    for i in range(args.steps):
+        imgs = jnp.asarray(rng.standard_normal(
+            (args.batch, cfg.image_size, cfg.image_size, 3), np.float32))
+        labels = jnp.asarray(rng.integers(0, args.classes, args.batch))
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, imgs, labels, sub)
+        if i % args.log_every == 0:
+            logger.log(i, {"loss": loss})
+    logger.close()
+
+
+def cmd_generate(args):
+    from fft_tpu.models.lm import lm_generate, lm_init
+    from fft_tpu.train.checkpoint import restore_checkpoint
+
+    cfg = _lm_config(args)
+    params = lm_init(jax.random.key(args.seed), cfg)
+    if args.ckpt:
+        from fft_tpu.train import TrainConfig, train_init
+        state, _ = train_init(jax.random.key(0), params, TrainConfig())
+        state = restore_checkpoint(args.ckpt, state)
+        params = state.params
+    prompt = jnp.asarray(
+        np.frombuffer(args.prompt.encode("utf-8"), np.uint8)[None].astype(
+            np.int32))
+    toks = lm_generate(params, cfg, prompt, steps=args.steps,
+                       rng=jax.random.key(args.seed),
+                       temperature=args.temperature)
+    text = bytes(int(t) % 256 for t in np.asarray(toks[0])).decode(
+        "utf-8", errors="replace")
+    print(args.prompt + text)
+
+
+def cmd_bench_mix(args):
+    from fft_tpu.config import SpectreConfig
+    from fft_tpu.layers import spectre_block_apply, spectre_block_init
+    from fft_tpu.utils.prof import spectral_mix_cost
+
+    for seq in (int(s) for s in args.seqs.split(",")):
+        cfg = SpectreConfig(embed_dim=args.dim, num_heads=8, n_fft=seq,
+                            pooling_type="mean", wavelet_on_rate=0.0,
+                            compute_dtype="bfloat16")
+        params = spectre_block_init(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), (args.batch, seq, args.dim))
+
+        def chain(p, x, k):
+            def body(h, _):
+                return spectre_block_apply(p, cfg, h), None
+            h, _ = jax.lax.scan(body, x, None, length=k)
+            return h[0, 0, 0]
+
+        f_lo = jax.jit(lambda p, x: chain(p, x, 4))
+        f_hi = jax.jit(lambda p, x: chain(p, x, 16))
+        float(np.asarray(f_lo(params, x)))
+        float(np.asarray(f_hi(params, x)))
+
+        def timed(f):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(np.asarray(f(params, x)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = (timed(f_hi) - timed(f_lo)) / 12
+        cost = spectral_mix_cost(args.batch, seq, args.dim)
+        print(json.dumps({
+            "seq": seq,
+            "block_fwd_ms": round(dt * 1e3, 3),
+            "tokens_per_sec": round(args.batch * seq / dt, 1),
+            "mix_roofline_ms": round(cost.roofline_ms(), 4),
+        }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fft_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    lm = sub.add_parser("train-lm")
+    lm.add_argument("--preset", default="tiny", choices=["tiny", "350m"])
+    lm.add_argument("--steps", type=int, default=1000)
+    lm.add_argument("--batch", type=int, default=8)
+    lm.add_argument("--seq", type=int, default=2048)
+    lm.add_argument("--lr", type=float, default=3e-4)
+    lm.add_argument("--data", default=None)
+    lm.add_argument("--ckpt", default=None)
+    lm.add_argument("--ckpt-every", type=int, default=500)
+    lm.add_argument("--resume", action="store_true")
+    lm.add_argument("--bf16", action="store_true")
+    lm.add_argument("--metrics", default=None)
+    lm.add_argument("--log-every", type=int, default=10)
+    lm.add_argument("--dp", type=int, default=1)
+    lm.add_argument("--sp", type=int, default=1)
+    lm.add_argument("--tp", type=int, default=1)
+    lm.add_argument("--seed", type=int, default=0)
+    lm.set_defaults(fn=cmd_train_lm)
+
+    vit = sub.add_parser("train-vit")
+    vit.add_argument("--steps", type=int, default=100)
+    vit.add_argument("--batch", type=int, default=32)
+    vit.add_argument("--classes", type=int, default=1000)
+    vit.add_argument("--layers", type=int, default=12)
+    vit.add_argument("--lr", type=float, default=3e-4)
+    vit.add_argument("--metrics", default=None)
+    vit.add_argument("--log-every", type=int, default=10)
+    vit.add_argument("--seed", type=int, default=0)
+    vit.set_defaults(fn=cmd_train_vit)
+
+    gen = sub.add_parser("generate")
+    gen.add_argument("--preset", default="tiny", choices=["tiny", "350m"])
+    gen.add_argument("--seq", type=int, default=2048)
+    gen.add_argument("--bf16", action="store_true")
+    gen.add_argument("--ckpt", default=None)
+    gen.add_argument("--prompt", default="the ")
+    gen.add_argument("--steps", type=int, default=64)
+    gen.add_argument("--temperature", type=float, default=0.0)
+    gen.add_argument("--seed", type=int, default=0)
+    gen.set_defaults(fn=cmd_generate)
+
+    bm = sub.add_parser("bench-mix")
+    bm.add_argument("--seqs", default="1024,4096,16384")
+    bm.add_argument("--batch", type=int, default=8)
+    bm.add_argument("--dim", type=int, default=512)
+    bm.set_defaults(fn=cmd_bench_mix)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -143,6 +143,7 @@ def spectre_head_apply_causal(
     assert n <= cfg.n_fft, f"sequence {n} exceeds n_fft {cfg.n_fft}"
     assert cfg.pooling_type == "mean", (
         "causal mode uses the streaming (mean) descriptor")
+    causal_chunk = min(causal_chunk, n)
     n_chunks = -(-n // causal_chunk)
 
     q = linear_apply(params["w_q"], x)

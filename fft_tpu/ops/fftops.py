@@ -41,7 +41,7 @@ def rfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto") -> jnp.ndar
     if impl == "pallas":
         from fft_tpu.kernels.pallas_fft import rfft_pallas
         return rfft_pallas(x, n, axis=axis)
-    return jnp.fft.rfft(x, n=n, axis=axis)
+    return jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=axis)
 
 
 def irfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto") -> jnp.ndarray:

@@ -33,7 +33,8 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
-    rng: jnp.ndarray
+    rng: jnp.ndarray     # raw key data (uint32), not a typed key —
+                         # checkpointable and device-transferable
 
 
 def _trainable_mask(params):
@@ -85,6 +86,8 @@ def classification_loss(params, model_cfg, images: jnp.ndarray,
 
 def train_init(key, params, tcfg: TrainConfig) -> tuple[TrainState, Any]:
     opt = make_optimizer(tcfg, params)
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
     return TrainState(params=params, opt_state=opt.init(params),
                       step=jnp.asarray(0, jnp.int32), rng=key), opt
 
@@ -92,7 +95,8 @@ def train_init(key, params, tcfg: TrainConfig) -> tuple[TrainState, Any]:
 def train_step(state: TrainState, batch: jnp.ndarray, *, model_cfg,
                optimizer) -> tuple[TrainState, dict]:
     """One optimizer step on an LM batch (B, N+1).  Pure; jit/pjit it."""
-    rng, step_rng = jax.random.split(state.rng)
+    rng, step_rng = jax.random.split(jax.random.wrap_key_data(state.rng))
+    rng = jax.random.key_data(rng)
 
     def loss_fn(p):
         return lm_loss(p, model_cfg, batch,

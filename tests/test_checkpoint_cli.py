@@ -1,0 +1,66 @@
+"""Checkpoint save/restore bitwise roundtrip + CLI smoke (train-lm few steps,
+resume, generate)."""
+
+import json
+import pathlib
+
+import jax
+import numpy as np
+import pytest
+
+from fft_tpu.config import SpectreConfig
+from fft_tpu.models.lm import LMConfig, lm_init
+from fft_tpu.train import TrainConfig, train_init
+from fft_tpu.train.checkpoint import (latest_step, restore_checkpoint,
+                                      save_checkpoint)
+
+
+def _tiny():
+    return LMConfig(
+        vocab_size=32, num_layers=2, max_seq=16,
+        block=SpectreConfig(embed_dim=32, num_heads=4, n_fft=16,
+                            pooling_type="mean", wavelet_on_rate=0.0,
+                            causal=True, causal_chunk=4, memory_size=4,
+                            fft_impl="jnp"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny()
+    params = lm_init(jax.random.key(0), cfg)
+    state, _ = train_init(jax.random.key(1), params, TrainConfig())
+    save_checkpoint(tmp_path / "ck", state, 7)
+    assert latest_step(tmp_path / "ck") == 7
+    restored = restore_checkpoint(tmp_path / "ck", state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_prunes_old(tmp_path):
+    cfg = _tiny()
+    params = lm_init(jax.random.key(0), cfg)
+    state, _ = train_init(jax.random.key(1), params, TrainConfig())
+    for s in (1, 2, 3, 4, 5):
+        save_checkpoint(tmp_path / "ck", state, s, keep=2)
+    kept = sorted(int(p.name) for p in (tmp_path / "ck").iterdir()
+                  if p.name.isdigit())
+    assert kept == [4, 5]
+
+
+def test_cli_train_resume_generate(tmp_path, capsys):
+    from fft_tpu.cli import main
+    ck = str(tmp_path / "ck")
+    metrics = str(tmp_path / "m.jsonl")
+    argv = ["train-lm", "--steps", "4", "--batch", "2", "--seq", "16",
+            "--ckpt", ck, "--ckpt-every", "2", "--metrics", metrics,
+            "--log-every", "1"]
+    main(argv)
+    assert latest_step(ck) == 4
+    lines = [json.loads(l) for l in
+             pathlib.Path(metrics).read_text().splitlines()]
+    assert any("loss" in l for l in lines)
+    # resume continues from the saved step (runs 0 new steps if done)
+    main(argv + ["--resume"])
+    # generation smoke (untrained weights, greedy)
+    main(["generate", "--seq", "16", "--prompt", "ab", "--steps", "3"])
+    out = capsys.readouterr().out
+    assert "ab" in out
