@@ -67,8 +67,18 @@ def cmd_train_lm(args):
                       in_shardings=(state_sh, batch_sh),
                       out_shardings=(state_sh, None))
 
-    data = CharDataset(path=args.data)
-    batches = data.batches(args.batch, args.seq, seed=args.seed)
+    batches = None
+    if args.data is not None:
+        try:
+            from fft_tpu.train.native_loader import NativeCharLoader
+            batches = iter(NativeCharLoader(args.data, args.batch, args.seq,
+                                            seed=args.seed))
+            print("using native C++ data loader")
+        except Exception as e:          # fall back to the Python pipeline
+            print(f"native loader unavailable ({e}); using Python loader")
+    if batches is None:
+        data = CharDataset(path=args.data)
+        batches = data.batches(args.batch, args.seq, seed=args.seed)
     logger = MetricsLogger(args.metrics, print_every=args.log_every)
     tokens_per_step = args.batch * args.seq
 

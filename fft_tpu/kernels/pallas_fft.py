@@ -1,0 +1,364 @@
+"""Fused Pallas spectral-mix kernel: rFFT -> gate multiply (+memory) ->
+irFFT in ONE HBM pass (the BASELINE north-star kernel).
+
+The unfused path costs ~10 HBM round trips of the (B, N, d) activation
+(per-stage intermediates); this kernel reads v (and the broadcast gate)
+once, does everything in VMEM on the MXU, and writes y once — measured ~6x
+on the mix at N=1024 (see benchmarks/).
+
+Design notes (all verified against Mosaic on the target chip):
+- Complex arithmetic as split re/im f32 planes (Pallas has no complex).
+- The packed real FFT needs Z[k] AND conj(Z[n2-k]); sublane flips are
+  avoided entirely with the identity  conj(Z[n2-k]) = DFT_-(conj z)[k]:
+  transforming zr and zi separately gives both P = F(zr) + i*F(zi) and
+  Zc = F(zr) - i*F(zi) from ONE pair of real-input transforms.
+- The inverse untangle's flip is likewise algebra-folded:
+      irfft(M)[interleaved] = T_+(A (.) M) + T_-(C (.) conj M) + B0*M_nyq
+  where A, C, B0 are precomputed constant rows (C absorbs the flipped
+  coefficient (1 - i*u^k)/2, with C[0] = 0 and the k=0 term routed through
+  the Nyquist row).  All data-dependent arrays flow through plain DFT
+  stages.
+- Each DFT of length n2 = f1*f2 is two dense matmul stages + a twiddle:
+  stage 1 contracts the major factor via a 2D dot (f1, f1) @ (f1, f2*d);
+  stage 2 is a 3D dot_general over the middle axis; output lands in
+  k = c + f1*kq order which every constant row is built in — no reorder.
+- Grid: (batch, d/128); everything for one (b, 128-channel) slab lives in
+  VMEM, which bounds this kernel to n_fft <= ~2048 at 128 lanes (larger
+  sizes fall back to the matmul-FFT path; a DMA-pipelined variant is the
+  planned extension).
+
+Reference semantics preserved exactly: the DC/Nyquist imaginary parts of
+the mixed spectrum are dropped, matching torch.fft.irfft (spectre.py:551).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DBLK = 128
+_PREC = jax.lax.Precision.HIGHEST
+# Tests on CPU set this to run the kernel through the Pallas interpreter.
+INTERPRET = False
+
+
+def pallas_mix_supported(n_fft: int) -> bool:
+    from fft_tpu.kernels.matfft import cfft_factors
+    if n_fft % 2 or n_fft < 8 or n_fft > 2048:
+        return False
+    f = cfft_factors(n_fft // 2)
+    return f is not None and len(f) <= 2
+
+
+@functools.lru_cache(maxsize=None)
+def _consts(n_fft: int) -> Tuple:
+    """Host-side constant pack for the kernel (all numpy f32)."""
+    from fft_tpu.kernels.matfft import cfft_factors
+    n2 = n_fft // 2
+    factors = cfft_factors(n2)
+    assert factors is not None and len(factors) <= 2, (n_fft, factors)
+    if len(factors) == 1:
+        f1, f2 = factors[0], 1
+    else:
+        f1, f2 = factors
+    k1 = np.arange(f1)
+    k2 = np.arange(f2)
+
+    def dftm(p, sign):
+        ang = (sign * 2 * np.pi / p) * np.outer(np.arange(p), np.arange(p))
+        return np.exp(1j * ang).astype(np.complex64)
+
+    def tw(sign):
+        ang = (sign * 2 * np.pi / n2) * np.outer(k1, k2)
+        return np.exp(1j * ang).astype(np.complex64)
+
+    k = np.arange(n2)
+    w = np.exp(-2j * np.pi * k / n_fft)               # e^{-2pi i k / n}
+    u = np.exp(+2j * np.pi * k / n_fft)
+    a_fwd = (1.0 - 1j * w) / 2.0                      # X = a*P + b*Zc
+    b_fwd = (1.0 + 1j * w) / 2.0
+    a_inv = (1.0 + 1j * u) / 2.0 / n2                 # fold 1/n2 into rows
+    b_inv = (1.0 - 1j * u) / 2.0 / n2
+    c_inv = np.zeros(n2, np.complex64)
+    c_inv[1:] = b_inv[n2 - np.arange(1, n2)]          # C[j] = B[(n2-j)]
+    b0 = b_inv[0]                                     # (1 - i)/(2 n2)
+
+    # The staged transform emits index k' = c + f1*kq, NOT natural k.  All
+    # per-frequency constant rows (a/b/c, gate is handled by the caller)
+    # are therefore PRE-PERMUTED into that order so the kernel never
+    # reorders data.  perm[k'] = natural k at position k'.
+    kq, c = np.meshgrid(np.arange(f2), np.arange(f1), indexing="ij")
+    perm = (c + f1 * kq).reshape(-1)                  # stage-order -> natural
+
+    def rows(z):
+        return (np.ascontiguousarray(z.real[perm, None]).astype(np.float32),
+                np.ascontiguousarray(z.imag[perm, None]).astype(np.float32))
+
+    dc_row = np.zeros((n2, 1), np.float32)
+    dc_row[int(np.nonzero(perm == 0)[0][0])] = 1.0    # DC position in order
+
+    m1 = dftm(f1, -1)
+    m2 = dftm(f2, -1)
+    i1 = dftm(f1, +1)
+    i2 = dftm(f2, +1)
+    t_f = tw(-1)
+    t_i = tw(+1)
+
+    return dict(
+        n2=n2, f1=f1, f2=f2, perm=perm, b0=complex(b0),
+        w1r=m1.real, w1i=m1.imag, w2r=m2.real, w2i=m2.imag,
+        i1r=i1.real, i1i=i1.imag, i2r=i2.real, i2i=i2.imag,
+        twr=t_f.real.astype(np.float32), twi=t_f.imag.astype(np.float32),
+        itwr=t_i.real.astype(np.float32), itwi=t_i.imag.astype(np.float32),
+        afr=rows(a_fwd)[0], afi=rows(a_fwd)[1],
+        bfr=rows(b_fwd)[0], bfi=rows(b_fwd)[1],
+        air=rows(a_inv)[0], aii=rows(a_inv)[1],
+        cir=rows(c_inv)[0], cii=rows(c_inv)[1],
+        dc=dc_row,
+    )
+
+
+def _make_kernel(n_fft: int, with_memory: bool):
+    cst = _consts(n_fft)
+    n2, f1, f2 = cst["n2"], cst["f1"], cst["f2"]
+    b0r, b0i = cst["b0"].real, cst["b0"].imag
+
+    def dft_stages(xr, xi, w1r, w1i, twr, twi, w2r, w2i):
+        """Two-stage complex DFT along sublanes of (n2, d); output in
+        k = c + f1*kq ('stage') order.  ``xi=None`` marks real input
+        (skips the zero matmuls)."""
+        d = xr.shape[-1]
+        xr2 = xr.reshape(f1, f2 * d)
+
+        def mm(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=_PREC)
+
+        if xi is None:
+            yr = mm(w1r, xr2)
+            yi = mm(w1i, xr2)
+        else:
+            xi2 = xi.reshape(f1, f2 * d)
+            yr = mm(w1r, xr2) - mm(w1i, xi2)
+            yi = mm(w1r, xi2) + mm(w1i, xr2)
+        yr = yr.reshape(f1, f2, d)
+        yi = yi.reshape(f1, f2, d)
+        tr = twr[:, :, None]
+        ti = twi[:, :, None]
+        ur = yr * tr - yi * ti
+        ui = yr * ti + yi * tr
+
+        def mm3(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=_PREC)
+
+        vr = mm3(w2r, ur) - mm3(w2i, ui)               # (f2, f1, d)
+        vi = mm3(w2r, ui) + mm3(w2i, ur)
+        return vr.reshape(n2, d), vi.reshape(n2, d)
+
+    def kernel(*refs):
+        if with_memory:
+            (v_ref, gr_ref, gi_ref, gn_ref, mr_ref, mi_ref, mn_ref,
+             *c_refs) = refs[:-1]
+        else:
+            v_ref, gr_ref, gi_ref, gn_ref, *c_refs = refs[:-1]
+        o_ref = refs[-1]
+        (w1r, w1i, twr, twi, w2r, w2i,
+         i1r, i1i, itwr, itwi, i2r, i2i,
+         afr, afi, bfr, bfi, air, aii, cir, cii, dc) = (
+            r[:] for r in c_refs)
+
+        v = v_ref[0].astype(jnp.float32)               # (N, 128)
+        zr = v.reshape(n2, 2, _DBLK)[:, 0, :]
+        zi = v.reshape(n2, 2, _DBLK)[:, 1, :]
+
+        # one pair of real-input transforms gives P and Zc; both run in a
+        # single lane-stacked pass: v.reshape(n2, 2*DBLK) IS [zr | zi]
+        # lane-concatenated for free (row m = [v[2m,:], v[2m+1,:]])
+        zs = v.reshape(n2, 2 * _DBLK)
+        fsr, fsi = dft_stages(zs, None, w1r, w1i, twr, twi, w2r, w2i)
+        frr, fir = fsr[:, :_DBLK], fsr[:, _DBLK:]
+        fri, fii = fsi[:, :_DBLK], fsi[:, _DBLK:]
+        pr = frr - fii
+        pi = fri + fir
+        zcr = frr + fii
+        zci = fri - fir
+
+        # forward untangle: X = a*P + b*Zc  (rows pre-permuted)
+        xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+        xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+        # Nyquist (real): X_nyq = Re(Z[0]) - Im(Z[0]); Z[0] = sum z = P at
+        # the DC position == sum over rows of z (cheaper than locating DC).
+        x_nyq = jnp.sum(zr - zi, axis=0, keepdims=True)  # (1, 128)
+
+        # gate multiply (+ memory), irfft DC/Nyquist convention
+        g_r = gr_ref[0]
+        g_i = gi_ref[0]
+        mr = g_r * xr - g_i * xi
+        mi = g_r * xi + g_i * xr
+        m_nyq = gn_ref[0] * x_nyq
+        if with_memory:
+            mr = mr + mr_ref[:]
+            mi = mi + mi_ref[:]
+            m_nyq = m_nyq + mn_ref[:]
+        mi = mi * (1.0 - dc)                           # drop Im at DC
+
+        # inverse: z' = T+(A (.) M) + T-(C (.) conj M) + B0 * M_nyq
+        amr = air * mr - aii * mi
+        ami = air * mi + aii * mr
+        cmr = cir * mr + cii * mi                      # C (.) conj(M)
+        cmi = cii * mr - cir * mi
+        t1r, t1i = dft_stages(amr, ami, i1r, i1i, itwr, itwi, i2r, i2i)
+        t2r, t2i = dft_stages(cmr, cmi, w1r, w1i, twr, twi, w2r, w2i)
+        z_r = t1r + t2r + b0r * m_nyq
+        z_i = t1i + t2i + b0i * m_nyq
+
+        y = jnp.stack([z_r, z_i], axis=1).reshape(n_fft, _DBLK)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+    return kernel, cst
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "interpret"))
+def _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq, *, n_fft,
+                    interpret=False):
+    b, n, d = v.shape
+    with_memory = mem_r is not None
+    kernel, cst = _make_kernel(n_fft, with_memory)
+    n2 = cst["n2"]
+
+    grid = (b, d // _DBLK)
+    data_specs = [
+        pl.BlockSpec((1, n, _DBLK), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n2, _DBLK), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n2, _DBLK), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, _DBLK), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [v, g_r, g_i, g_nyq]
+    if with_memory:
+        data_specs += [
+            pl.BlockSpec((n2, _DBLK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, _DBLK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _DBLK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [mem_r, mem_i, mem_nyq]
+
+    const_names = ["w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                   "i1r", "i1i", "itwr", "itwi", "i2r", "i2i",
+                   "afr", "afi", "bfr", "bfi", "air", "aii",
+                   "cir", "cii", "dc"]
+    for name in const_names:
+        arr = np.asarray(cst[name], np.float32)
+        data_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(arr))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((b, n, _DBLK * grid[1]), v.dtype),
+        in_specs=data_specs,
+        out_specs=pl.BlockSpec((1, n, _DBLK), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def fused_spectral_mix(
+    v: jnp.ndarray,                    # (B, N, d) real, N == n_fft
+    gate_bc: jnp.ndarray,              # (B, F_half, d) complex
+    memory_fft: Optional[jnp.ndarray],  # (F_half, d) complex or None
+    *,
+    n_fft: int,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """y = irfft(gate_bc * rfft(v) [+ memory], n_fft) fused in one pass.
+
+    The gate (and memory) arrive on the natural frequency grid; their rows
+    are permuted host-side into the kernel's stage order (a cheap static
+    gather on the small-F arrays, fused by XLA)."""
+    if interpret is None:
+        interpret = INTERPRET
+    assert pallas_mix_supported(n_fft), n_fft
+    b, n, d = v.shape
+    assert n == n_fft and d % _DBLK == 0, (v.shape, n_fft)
+    cst = _consts(n_fft)
+    perm = jnp.asarray(cst["perm"])
+
+    g = gate_bc.astype(jnp.complex64)
+    g_main = jnp.take(g, perm, axis=-2)
+    g_r = jnp.real(g_main)
+    g_i = jnp.imag(g_main)
+    g_nyq = jnp.real(g[..., -1:, :])                  # only Re survives
+
+    mem_r = mem_i = mem_nyq = None
+    if memory_fft is not None:
+        m = memory_fft.astype(jnp.complex64)
+        m_main = jnp.take(m, perm, axis=-2)
+        mem_r = jnp.real(m_main)
+        mem_i = jnp.imag(m_main)        # DC Im dropped in-kernel on the sum
+        mem_nyq = jnp.real(m[..., -1:, :]).reshape(1, d)
+    return _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq,
+                           n_fft=n_fft, interpret=interpret)
+
+
+def _unfused_mix(v, gate_bc, memory_fft, n_fft):
+    """Reference composition through the matmul FFT (same math; used for
+    the backward pass and as the fallback)."""
+    from fft_tpu.kernels.matfft import irfft_matmul, rfft_matmul
+    mixed = gate_bc * rfft_matmul(v, n_fft, axis=-2)
+    if memory_fft is not None:
+        mixed = mixed + memory_fft
+    return irfft_matmul(mixed, n_fft, axis=-2).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def spectral_mix(v, gate_bc, memory_fft, n_fft: int):
+    """Differentiable fused spectral mix: Pallas forward, exact adjoint
+    backward via the (autodiff'd) matmul-FFT composition.  The operator is
+    bilinear in (v, gate) so the unfused VJP is the exact gradient of the
+    fused forward (both compute the same linear map to ~1e-7)."""
+    return fused_spectral_mix(v, gate_bc, memory_fft, n_fft=n_fft)
+
+
+def _mix_fwd(v, gate_bc, memory_fft, n_fft):
+    return spectral_mix(v, gate_bc, memory_fft, n_fft), (v, gate_bc,
+                                                         memory_fft)
+
+
+def _mix_bwd(n_fft, res, ybar):
+    v, gate_bc, memory_fft = res
+    _, vjp = jax.vjp(
+        lambda v, g, m: _unfused_mix(v, g, m, n_fft), v, gate_bc, memory_fft)
+    return vjp(ybar)
+
+
+spectral_mix.defvjp(_mix_fwd, _mix_bwd)
+
+
+def rfft_pallas(x, n, axis=-2):  # pragma: no cover - placeholder
+    raise NotImplementedError(
+        "standalone pallas rFFT not provided; use fused_spectral_mix")
+
+
+def irfft_pallas(x, n, axis=-2):  # pragma: no cover - placeholder
+    raise NotImplementedError(
+        "standalone pallas irFFT not provided; use fused_spectral_mix")

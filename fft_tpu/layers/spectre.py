@@ -336,6 +336,46 @@ def spectre_multihead_apply(
 
     xh = jnp.moveaxis(x.reshape(b, n, h, hd), 2, 0)          # (H, B, N, hd)
 
+    # Fused Pallas path: heads' mixes are pointwise per channel, so ALL
+    # heads concat into ONE d-wide fused rFFT->gate->irFFT kernel call.
+    if (cfg.fft_impl == "pallas" and not cfg.causal and sp_mesh is None):
+        from fft_tpu.kernels.pallas_fft import (
+            pallas_mix_supported, spectral_mix)
+        assert pallas_mix_supported(cfg.n_fft) and d % 128 == 0, (
+            f"pallas mix unsupported for n_fft={cfg.n_fft}, d={d}")
+
+        def gates_and_v(hp, xi):
+            q = linear_apply(hp["w_q"], xi)
+            v = linear_apply(hp["w_v"], xi)
+            q_pool = _pool_descriptor(hp, hcfg, q)
+            gate = spectre_gate(hp, hcfg, q_pool)            # (B, G, F)
+            if pos_phase is not None:
+                gate = gate * (pos_phase[:, None, :]
+                               if pos_phase.ndim == 2 else pos_phase)
+            return v, gate, q_pool
+
+        vh, gate, q_pools = jax.vmap(gates_and_v)(params["heads"], xh)
+        v_all = jnp.moveaxis(vh, 0, 2).reshape(b, n, d)
+        gate_bc = jnp.repeat(jnp.swapaxes(gate, -1, -2),
+                             hcfg.d_group, axis=-1)          # (H, B, F, hd)
+        gate_bc = jnp.moveaxis(gate_bc, 0, 2).reshape(b, cfg.f_half, d)
+        if n < cfg.n_fft:
+            v_all = jnp.pad(v_all, ((0, 0), (0, cfg.n_fft - n), (0, 0)))
+        mixed = spectral_mix(v_all, gate_bc, memory_fft, cfg.n_fft)
+        mixed = mixed[:, :n].astype(x.dtype)
+        if not deterministic and cfg.dropout_p > 0.0:
+            keep = 1.0 - cfg.dropout_p
+            mask = jax.random.bernoulli(rngs["dropout"], keep, mixed.shape)
+            mixed = jnp.where(mask, mixed / keep, 0.0)
+        q_pool = jnp.moveaxis(q_pools, 0, 1).reshape(b, d)
+        refined = wavelet_refinement_apply(
+            params["wavelet"], mixed, q_pool, cfg.wavelet_on_rate,
+            rng=None if rngs is None else rngs.get("wavelet"),
+            deterministic=deterministic,
+            reference_compat=cfg.wavelet_reference_compat,
+        )
+        return linear_apply(params["out_proj"], refined)
+
     in_axes = [0, 0]
     args = [params["heads"], xh]
     if memory_fft is not None:

@@ -1,0 +1,77 @@
+"""Fused Pallas spectral-mix kernel vs the jnp composition (interpreter mode
+on CPU; the same kernel is compiled by Mosaic on the chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fft_tpu.kernels.pallas_fft as pf
+from fft_tpu.config import SpectreConfig
+from fft_tpu.layers import spectre_block_apply, spectre_block_init
+from tests.golden_utils import rel_err
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    old = pf.INTERPRET
+    pf.INTERPRET = True
+    yield
+    pf.INTERPRET = old
+
+
+@pytest.mark.parametrize("n", [64, 512, 2048])
+@pytest.mark.parametrize("with_mem", [False, True])
+def test_fused_mix_matches_jnp(n, with_mem):
+    rng = np.random.default_rng(0)
+    b, d = 2, 128
+    f = n // 2 + 1
+    v = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    gate = jnp.asarray(
+        (rng.standard_normal((b, f, d))
+         + 1j * rng.standard_normal((b, f, d))).astype(np.complex64))
+    mem = None
+    if with_mem:
+        mem = jnp.asarray(
+            (rng.standard_normal((f, d))
+             + 1j * rng.standard_normal((f, d))).astype(np.complex64))
+    mixed = gate * jnp.fft.rfft(v, axis=1)
+    if mem is not None:
+        mixed = mixed + mem
+    ref = np.asarray(jnp.fft.irfft(mixed, n=n, axis=1))
+    got = np.asarray(pf.fused_spectral_mix(v, gate, mem, n_fft=n))
+    assert rel_err(got, ref) < 2e-6
+
+
+def test_pallas_block_and_grads_match_jnp():
+    base = dict(embed_dim=128, num_heads=2, n_fft=64, pooling_type="mean",
+                wavelet_on_rate=0.0, memory_size=8)
+    cfg_ref = SpectreConfig(**base, fft_impl="jnp")
+    cfg_pl = SpectreConfig(**base, fft_impl="pallas")
+    params = spectre_block_init(jax.random.key(0), cfg_ref)
+    x = jax.random.normal(jax.random.key(1), (2, 64, 128))
+    ref = np.asarray(spectre_block_apply(params, cfg_ref, x))
+    got = np.asarray(spectre_block_apply(params, cfg_pl, x))
+    assert rel_err(got, ref) < 1e-6
+
+    # short sequence -> zero-pad path
+    x2 = jax.random.normal(jax.random.key(2), (2, 50, 128))
+    ref2 = np.asarray(spectre_block_apply(params, cfg_ref, x2))
+    got2 = np.asarray(spectre_block_apply(params, cfg_pl, x2))
+    assert rel_err(got2, ref2) < 1e-6
+
+    # exact adjoint via the custom VJP
+    def loss(p, cfg):
+        return jnp.sum(spectre_block_apply(p, cfg, x) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, cfg_ref))(params)
+    g_pl = jax.grad(lambda p: loss(p, cfg_pl))(params)
+    for a, b in zip(jax.tree.leaves(g_pl), jax.tree.leaves(g_ref)):
+        assert rel_err(np.asarray(a), np.asarray(b)) < 1e-5
+
+
+def test_pallas_support_predicate():
+    assert pf.pallas_mix_supported(1024)
+    assert pf.pallas_mix_supported(2048)
+    assert not pf.pallas_mix_supported(4096)      # VMEM bound (falls back)
+    assert not pf.pallas_mix_supported(63)        # odd
