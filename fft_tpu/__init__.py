@@ -22,3 +22,9 @@ Layout
 __version__ = "0.1.0"
 
 from fft_tpu import ops  # noqa: F401
+from fft_tpu.config import SpectreConfig, SpectreHeadConfig  # noqa: F401
+from fft_tpu.layers import (  # noqa: F401
+    spectre_block_apply, spectre_block_init,
+    spectre_head_apply, spectre_head_init,
+    spectre_multihead_apply, spectre_multihead_init,
+)

@@ -125,7 +125,7 @@ def _consts(n_fft: int) -> Tuple:
     )
 
 
-def _make_kernel(n_fft: int, with_memory: bool):
+def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC):
     cst = _consts(n_fft)
     n2, f1, f2 = cst["n2"], cst["f1"], cst["f2"]
     b0r, b0i = cst["b0"].real, cst["b0"].imag
@@ -140,7 +140,7 @@ def _make_kernel(n_fft: int, with_memory: bool):
         def mm(a, b):
             return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32,
-                                       precision=_PREC)
+                                       precision=precision)
 
         if xi is None:
             yr = mm(w1r, xr2)
@@ -159,7 +159,7 @@ def _make_kernel(n_fft: int, with_memory: bool):
         def mm3(a, b):
             return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32,
-                                       precision=_PREC)
+                                       precision=precision)
 
         vr = mm3(w2r, ur) - mm3(w2i, ui)               # (f2, f1, d)
         vi = mm3(w2r, ui) + mm3(w2i, ur)
@@ -228,12 +228,18 @@ def _make_kernel(n_fft: int, with_memory: bool):
     return kernel, cst
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "interpret", "fast"))
 def _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq, *, n_fft,
-                    interpret=False):
+                    interpret=False, fast=False):
     b, n, d = v.shape
     with_memory = mem_r is not None
-    kernel, cst = _make_kernel(n_fft, with_memory)
+    # fast=True uses single-pass bf16 MXU passes (~4e-3 rel, fits the bf16
+    # budget and is ~2.4x the HIGHEST-precision kernel); fast=False keeps
+    # fp32-accurate 6-pass matmuls (2e-7).
+    kernel, cst = _make_kernel(
+        n_fft, with_memory,
+        precision=jax.lax.Precision.DEFAULT if fast else _PREC)
     n2 = cst["n2"]
 
     grid = (b, d // _DBLK)
@@ -289,6 +295,7 @@ def fused_spectral_mix(
     *,
     n_fft: int,
     interpret: bool = None,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """y = irfft(gate_bc * rfft(v) [+ memory], n_fft) fused in one pass.
 
@@ -317,7 +324,7 @@ def fused_spectral_mix(
         mem_i = jnp.imag(m_main)        # DC Im dropped in-kernel on the sum
         mem_nyq = jnp.real(m[..., -1:, :]).reshape(1, d)
     return _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq,
-                           n_fft=n_fft, interpret=interpret)
+                           n_fft=n_fft, interpret=interpret, fast=fast)
 
 
 def _unfused_mix(v, gate_bc, memory_fft, n_fft):
@@ -330,21 +337,22 @@ def _unfused_mix(v, gate_bc, memory_fft, n_fft):
     return irfft_matmul(mixed, n_fft, axis=-2).astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def spectral_mix(v, gate_bc, memory_fft, n_fft: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def spectral_mix(v, gate_bc, memory_fft, n_fft: int, fast: bool = False):
     """Differentiable fused spectral mix: Pallas forward, exact adjoint
     backward via the (autodiff'd) matmul-FFT composition.  The operator is
     bilinear in (v, gate) so the unfused VJP is the exact gradient of the
     fused forward (both compute the same linear map to ~1e-7)."""
-    return fused_spectral_mix(v, gate_bc, memory_fft, n_fft=n_fft)
+    return fused_spectral_mix(v, gate_bc, memory_fft, n_fft=n_fft,
+                              fast=fast)
 
 
-def _mix_fwd(v, gate_bc, memory_fft, n_fft):
-    return spectral_mix(v, gate_bc, memory_fft, n_fft), (v, gate_bc,
-                                                         memory_fft)
+def _mix_fwd(v, gate_bc, memory_fft, n_fft, fast):
+    return spectral_mix(v, gate_bc, memory_fft, n_fft, fast), (
+        v, gate_bc, memory_fft)
 
 
-def _mix_bwd(n_fft, res, ybar):
+def _mix_bwd(n_fft, fast, res, ybar):
     v, gate_bc, memory_fft = res
     _, vjp = jax.vjp(
         lambda v, g, m: _unfused_mix(v, g, m, n_fft), v, gate_bc, memory_fft)

@@ -361,7 +361,8 @@ def spectre_multihead_apply(
         gate_bc = jnp.moveaxis(gate_bc, 0, 2).reshape(b, cfg.f_half, d)
         if n < cfg.n_fft:
             v_all = jnp.pad(v_all, ((0, 0), (0, cfg.n_fft - n), (0, 0)))
-        mixed = spectral_mix(v_all, gate_bc, memory_fft, cfg.n_fft)
+        mixed = spectral_mix(v_all, gate_bc, memory_fft, cfg.n_fft,
+                             cfg.compute_dtype == "bfloat16")
         mixed = mixed[:, :n].astype(x.dtype)
         if not deterministic and cfg.dropout_p > 0.0:
             keep = 1.0 - cfg.dropout_p
