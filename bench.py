@@ -29,14 +29,18 @@ B, L, D = 8, 1024, 512
 
 
 def main():
+    # Production configuration: bf16 compute + the fused Pallas spectral-mix
+    # kernel (fp32 path and golden parity are covered by tests/).
     cfg = SpectreConfig(embed_dim=D, num_heads=8, n_fft=L,
                         pooling_type="mean", wavelet_on_rate=0.0,
-                        memory_size=16)
+                        memory_size=16, compute_dtype="bfloat16",
+                        fft_impl="pallas")
     params = spectre_block_init(jax.random.key(0), cfg)
     x = jax.random.normal(jax.random.key(1), (B, L, D))
 
     def loss(p, x):
-        return jnp.sum(spectre_block_apply(p, cfg, x) ** 2)
+        return jnp.sum(spectre_block_apply(p, cfg, x).astype(jnp.float32)
+                       ** 2)
 
     def chain(params, x, k):
         def body(p, _):

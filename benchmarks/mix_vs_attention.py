@@ -15,6 +15,7 @@ Usage: PYTHONPATH=.:... python benchmarks/mix_vs_attention.py [--bwd]
 from __future__ import annotations
 
 import argparse
+import math
 import json
 import time
 
@@ -45,13 +46,66 @@ def attn_block_init(key):
     }
 
 
+QBLK = 512
+
+
+def _flash_causal_attention(q, k, v):
+    """Memory-efficient blockwise causal attention (FlashAttention-style
+    online softmax, O(N) memory): queries in blocks of QBLK, keys scanned.
+    Dense attention materializes an O(N^2) score matrix and OOMs at seq 8k
+    on one chip — this is the strong baseline."""
+    b, n, h, hd = q.shape
+    scale = 1.0 / math.sqrt(hd)
+    nq = n // QBLK
+    qb = jnp.moveaxis(q.reshape(b, nq, QBLK, h, hd), 3, 2)   # (B,nq,H,Q,hd)
+    kb = jnp.moveaxis(k.reshape(b, nq, QBLK, h, hd), 3, 2)
+    vb = jnp.moveaxis(v.reshape(b, nq, QBLK, h, hd), 3, 2)
+
+    qi = jnp.arange(QBLK)[:, None]
+    kj = jnp.arange(QBLK)[None, :]
+
+    def per_qblock(ci, qc):
+        # scan over key blocks 0..ci with running max/denominator
+        def body(carry, cj):
+            m, l, acc = carry
+            kc = kb[:, cj]
+            vc = vb[:, cj]
+            s = jnp.einsum("bhqd,bhkd->bhqk", qc, kc,
+                           preferred_element_type=jnp.float32) * scale
+            mask = jnp.where(cj < ci, True, qi >= kj)        # causal
+            active = cj <= ci
+            s = jnp.where(mask & active, s, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+            p = jnp.exp(s - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p.astype(vc.dtype), vc)
+            return (m_new, l, acc), None
+
+        m0 = jnp.full((b, h, QBLK), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, h, QBLK), jnp.float32)
+        a0 = jnp.zeros((b, h, QBLK, hd), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), jnp.arange(nq))
+        return acc / l[..., None]
+
+    out = jax.lax.map(lambda ci: per_qblock(ci, qb[:, ci]),
+                      jnp.arange(nq))                        # (nq,B,H,Q,hd)
+    out = jnp.moveaxis(out, 0, 1)                            # (B,nq,H,Q,hd)
+    out = jnp.moveaxis(out, 2, 3).reshape(b, n, h, hd)
+    return out.astype(q.dtype)
+
+
 def attn_block_apply(p, x):
     b, n, d = x.shape
     h = layernorm_apply(p["ln1"], x)
     q = linear_apply(p["w_q"], h).reshape(b, n, HEADS, d // HEADS)
     k = linear_apply(p["w_k"], h).reshape(b, n, HEADS, d // HEADS)
     v = linear_apply(p["w_v"], h).reshape(b, n, HEADS, d // HEADS)
-    o = jax.nn.dot_product_attention(q, k, v, is_causal=True)
+    if n <= 4096:
+        o = jax.nn.dot_product_attention(q, k, v, is_causal=True)
+    else:
+        o = _flash_causal_attention(q, k, v)
     x = x + linear_apply(p["w_o"], o.reshape(b, n, d))
     h2 = layernorm_apply(p["ln2"], x)
     return x + linear_apply(p["mlp"]["fc2"],

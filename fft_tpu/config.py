@@ -99,6 +99,12 @@ class SpectreConfig:
     # long-context causal LMs; the reference forward is non-causal).
     causal: bool = False
     causal_chunk: int = 128
+    # "segmented": overlap-save block convolution (default — faster and
+    # shard-local, the sequence-parallel causal algorithm; see
+    # layers/causal_seg).  "fft2n": per-chunk linear conv via 2N-point FFTs
+    # (also used automatically when the sequence doesn't divide into
+    # chunks).
+    causal_impl: str = "segmented"
 
     def __post_init__(self):
         assert self.embed_dim % self.num_heads == 0

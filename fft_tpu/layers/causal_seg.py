@@ -1,0 +1,80 @@
+"""Segmented (overlap-save) causal spectral mixing.
+
+Mathematically identical to the 2N-FFT chunked-causal path in
+``spectre_head_apply_causal`` (same per-chunk kernels k_c = irfft(gate_c),
+same strictly-past linear convolution), but organized as block convolution:
+
+    V_s     = rfft_2C([v_{s-1} | v_s])                  (segment spectra)
+    Y_c     = irfft_2C( sum_j K_c^(j) (.) V_{c-j} )[C:] (output chunk c)
+    K_c^(j) = rfft_2C(k_c[jC:(j+1)C])                   (kernel segments)
+
+Why it exists:
+- **Sequence parallelism for causal models** (BASELINE config 4): segment
+  spectra are shard-local (one neighbor halo per segment); the causal
+  pairwise sum needs each chunk owner to see PAST segment spectra — one
+  all-gather over the 'seq' axis per layer, which GSPMD inserts from the
+  banded einsum.  The 2N-FFT formulation offers no such locality.
+- At small chunk sizes it is also a faster single-device algorithm
+  (nc FFTs of length 2C + an MXU-friendly banded contraction, vs nc FFTs
+  of length 2N).
+
+Cost: O(nc^2 * C * G * B) for the banded kernel-segment contraction +
+O(N log C) FFT work per (batch, channel).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from fft_tpu.config import SpectreHeadConfig
+from fft_tpu.ops import fftops
+
+
+def segmented_causal_mix(
+    v: jnp.ndarray,           # (B, N, d) values, N divisible by chunk
+    gate: jnp.ndarray,        # (B, nc, G, F_half) per-chunk gates
+    cfg: SpectreHeadConfig,
+    chunk: int,
+) -> jnp.ndarray:
+    """y[p in chunk c] = sum_{m < n_fft} k_c[m] * v[p-m] for every chunk,
+    via overlap-save block convolution.  Returns (B, N, d)."""
+    b, n, d = v.shape
+    g_groups = gate.shape[2]
+    d_g = d // g_groups
+    nc = n // chunk
+    assert nc * chunk == n, (n, chunk)
+    c2 = 2 * chunk
+    f2 = c2 // 2 + 1
+    impl = cfg.fft_impl if cfg.fft_impl != "pallas" else "matmul"
+
+    # --- segment spectra: V_s = rfft_2C([v_{s-1} | v_s]) ------------------
+    vs = v.astype(jnp.float32).reshape(b, nc, chunk, d)
+    v_prev = jnp.pad(vs[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    seg = jnp.concatenate([v_prev, vs], axis=2)            # (B, nc, 2C, d)
+    vf = fftops.rfft(seg, c2, axis=-2, impl=impl)          # (B, nc, F2, d)
+
+    # --- kernel segments ---------------------------------------------------
+    k_time = fftops.irfft(gate, cfg.n_fft, axis=-1, impl=impl)
+    k_time = k_time[..., :n]                               # window <= N here
+    k_segs = k_time.reshape(b, nc, g_groups, nc, chunk)    # (B,c,G,j,C)
+    kf = fftops.rfft(k_segs, c2, axis=-1, impl=impl)       # (B,c,G,j,F2)
+
+    # --- banded causal gather: vf_g[b,c,j] = vf[b, c-j] (0 where c<j) -----
+    idx_c = np.arange(nc)[:, None]
+    idx_j = np.arange(nc)[None, :]
+    src = idx_c - idx_j
+    onehot = np.where(src[..., None] == np.arange(nc), 1.0, 0.0)
+    onehot *= (src >= 0)[..., None]
+    onehot = jnp.asarray(onehot.astype(np.float32))        # (c, j, s)
+
+    vf_grp = vf.reshape(b, nc, f2, g_groups, d_g)
+    # Single 3-operand einsum so the contraction order folds (onehot, kf)
+    # into a small (b,c,g,s,f) banded-kernel tensor first — never
+    # materializing the O(nc^2 * F2 * d) gathered activations.
+    kf_banded = jnp.einsum("cjs,bcgjf->bcgsf", onehot, kf)
+    y_spec = jnp.einsum("bcgsf,bsfge->bcfge", kf_banded, vf_grp)
+    y_spec = y_spec.reshape(b, nc, f2, d)
+
+    y = fftops.irfft(y_spec, c2, axis=-2, impl=impl)[:, :, chunk:, :]
+    return y.reshape(b, n, d).astype(v.dtype)

@@ -117,6 +117,7 @@ def spectre_head_apply_causal(
     x: jnp.ndarray,                      # (B, N, d) tokens of one head
     *,
     causal_chunk: int = 128,
+    causal_impl: str = "fft2n",
     memory_fft: Optional[jnp.ndarray] = None,   # (F_half, d) complex
     dropout_rng=None,
     deterministic: bool = True,
@@ -159,23 +160,31 @@ def spectre_head_apply_causal(
     descr = layernorm_apply(params["q_norm"], prev / cfg.n_fft)
     gate = spectre_gate(params, cfg, descr)                  # (B, nc, G, F)
 
-    # Kernel to the 2N grid: k_c = irfft_N(gate_c), zero-padded, rfft_2N.
-    n2 = 2 * cfg.n_fft
-    k_time = fftops.irfft(gate, cfg.n_fft, axis=-1, impl=cfg.fft_impl)
-    gate2 = fftops.rfft(k_time, n2, axis=-1, impl=cfg.fft_impl)
-    gate2 = jnp.repeat(jnp.moveaxis(gate2, -2, -1)[..., None],
-                       cfg.d_group, axis=-1)                 # (B,nc,F2,1*d_g)
-    gate2 = gate2.reshape(b, n_chunks, n2 // 2 + 1, d)
+    if causal_impl == "segmented" and n % causal_chunk == 0:
+        # overlap-save block convolution: identical math, shard-local FFTs
+        # (the sequence-parallel causal algorithm — see layers/causal_seg).
+        from fft_tpu.layers.causal_seg import segmented_causal_mix
+        y = segmented_causal_mix(v, gate, cfg, causal_chunk)
+    else:
+        # per-chunk linear convolution via 2N-point FFTs
+        n2 = 2 * cfg.n_fft
+        k_time = fftops.irfft(gate, cfg.n_fft, axis=-1, impl=cfg.fft_impl)
+        gate2 = fftops.rfft(k_time, n2, axis=-1, impl=cfg.fft_impl)
+        gate2 = jnp.repeat(jnp.moveaxis(gate2, -2, -1)[..., None],
+                           cfg.d_group, axis=-1)             # (B,nc,F2,1*d_g)
+        gate2 = gate2.reshape(b, n_chunks, n2 // 2 + 1, d)
 
-    vf = fftops.rfft(v, n2, axis=-2, impl=cfg.fft_impl)      # (B, F2, d)
+        vf = fftops.rfft(v, n2, axis=-2, impl=cfg.fft_impl)  # (B, F2, d)
 
-    def chunk_out(c):
-        y = fftops.irfft(gate2[:, c] * vf, n2, axis=-2, impl=cfg.fft_impl)
-        return jax.lax.dynamic_slice_in_dim(
-            y, c * causal_chunk, causal_chunk, axis=-2)
+        def chunk_out(c):
+            y = fftops.irfft(gate2[:, c] * vf, n2, axis=-2,
+                             impl=cfg.fft_impl)
+            return jax.lax.dynamic_slice_in_dim(
+                y, c * causal_chunk, causal_chunk, axis=-2)
 
-    y = jax.lax.map(chunk_out, jnp.arange(n_chunks))         # (nc, B, C, d)
-    y = jnp.moveaxis(y, 0, 1).reshape(b, n_chunks * causal_chunk, d)[:, :n]
+        y = jax.lax.map(chunk_out, jnp.arange(n_chunks))     # (nc, B, C, d)
+        y = jnp.moveaxis(y, 0, 1).reshape(
+            b, n_chunks * causal_chunk, d)[:, :n]
 
     if memory_fft is not None:
         mem_time = fftops.irfft(memory_fft[None], cfg.n_fft, axis=-2,
@@ -400,7 +409,8 @@ def spectre_multihead_apply(
 
         def run(hp, xi, mem, drng):
             return spectre_head_apply_causal(
-                hp, hcfg, xi, causal_chunk=cfg.causal_chunk, memory_fft=mem,
+                hp, hcfg, xi, causal_chunk=cfg.causal_chunk,
+                causal_impl=cfg.causal_impl, memory_fft=mem,
                 dropout_rng=drng, deterministic=deterministic)
     else:
         if sp_mesh is not None:
