@@ -147,9 +147,12 @@ def _move_to_penultimate(x: jnp.ndarray, axis: int):
     axis = axis % x.ndim
     squeeze = False
     if axis == x.ndim - 1:
-        x = x[..., None]
-        squeeze = True
-        axis = x.ndim - 2
+        # Last-axis transform: transpose so ALL other dims become the lane
+        # dimension (a singleton lane would waste 127/128 of the VPU/MXU).
+        lead = x.shape[:-1]
+        x = jnp.moveaxis(x.reshape(-1, x.shape[-1]), 0, -1)   # (n, M)
+        squeeze = lead                    # remember how to restore
+        axis = 0
     if axis != x.ndim - 2:
         x = jnp.moveaxis(x, axis, -2)
     return x, axis, squeeze
@@ -181,8 +184,8 @@ def rfft_matmul(x: jnp.ndarray, n: int, axis: int = -2) -> jnp.ndarray:
     ze = 0.5 * (z_ext + jnp.conj(z_rev))
     zo = -0.5j * (z_ext - jnp.conj(z_rev))
     out = ze + _half_phasor(n, -1)[:, None] * zo              # (..., n2+1, d)
-    if squeeze:
-        out = out[..., 0]
+    if squeeze is not False:
+        out = jnp.moveaxis(out, -1, 0).reshape(*squeeze, n // 2 + 1)
     elif orig_axis != out.ndim - 2:
         out = jnp.moveaxis(out, -2, orig_axis)
     return out
@@ -209,8 +212,8 @@ def irfft_matmul(xh: jnp.ndarray, n: int, axis: int = -2) -> jnp.ndarray:
     z = _cfft(z_spec, factors, sign=+1) / n2                  # inverse cFFT
     out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-2)      # (..., n2, 2, d)
     out = out.reshape(*z.shape[:-2], n, z.shape[-1])
-    if squeeze:
-        out = out[..., 0]
+    if squeeze is not False:
+        out = jnp.moveaxis(out, -1, 0).reshape(*squeeze, n)
     elif orig_axis != out.ndim - 2:
         out = jnp.moveaxis(out, -2, orig_axis)
     return out
