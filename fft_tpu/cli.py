@@ -82,13 +82,30 @@ def cmd_train_lm(args):
     logger = MetricsLogger(args.metrics, print_every=args.log_every)
     tokens_per_step = args.batch * args.seq
 
+    eval_fn = None
+    if args.eval_every:
+        from fft_tpu.train import lm_loss
+        eval_fn = jax.jit(lambda p, b: lm_loss(p, cfg, b,
+                                               deterministic=True))
+
     for i, batch in zip(range(start, args.steps), batches):
         batch = jax.device_put(batch, batch_sh)
-        state, metrics = step_fn(state, batch)
+        if args.profile and i == start + 2:   # one post-compile step
+            from fft_tpu.utils import profile_trace
+            with profile_trace(args.profile):
+                state, metrics = step_fn(state, batch)
+                jax.block_until_ready(metrics["loss"])
+        else:
+            state, metrics = step_fn(state, batch)
         if i % args.log_every == 0 or i == args.steps - 1:
-            logger.log(i, {"loss": metrics["loss"],
-                           "grad_norm": metrics["grad_norm"]},
-                       tokens=tokens_per_step)
+            rec = {"loss": metrics["loss"],
+                   "grad_norm": metrics["grad_norm"]}
+            if eval_fn is not None and i % args.eval_every == 0:
+                eval_batch = jax.device_put(next(batches), batch_sh)
+                ce = float(eval_fn(state.params, eval_batch))
+                rec["eval_loss"] = ce
+                rec["eval_ppl"] = float(np.exp(min(ce, 20.0)))
+            logger.log(i, rec, tokens=tokens_per_step)
         if args.ckpt and (i + 1) % args.ckpt_every == 0:
             save_checkpoint(args.ckpt, jax.device_get(state), i + 1)
     if args.ckpt:
@@ -210,6 +227,10 @@ def main(argv=None):
     lm.add_argument("--bf16", action="store_true")
     lm.add_argument("--metrics", default=None)
     lm.add_argument("--log-every", type=int, default=10)
+    lm.add_argument("--eval-every", type=int, default=0,
+                    help="held-out loss/perplexity every N steps")
+    lm.add_argument("--profile", default=None,
+                    help="capture an XProf trace of one step to this dir")
     lm.add_argument("--dp", type=int, default=1)
     lm.add_argument("--sp", type=int, default=1)
     lm.add_argument("--tp", type=int, default=1)

@@ -148,22 +148,42 @@ def lm_decode_step(params, cfg: LMConfig, token: jnp.ndarray, pos,
     return h @ head, caches
 
 
+def lm_prefill(params, cfg: LMConfig, tokens: jnp.ndarray):
+    """Batched prompt ingestion: ONE causal forward pass builds every
+    layer's decode cache (rfft prefill + ring buffers), instead of feeding
+    the prompt token-by-token.  Returns (last-position logits, caches).
+
+    Requires the causal model (training forward == decode semantics), so
+    continuing with lm_decode_step is exactly equivalent to having decoded
+    the prompt step-by-step."""
+    from fft_tpu.decode.cache import spectre_block_prefill
+
+    b, length = tokens.shape
+    h = (params["tok_emb"][tokens] + params["pos_emb"][:length]).astype(
+        cfg.block.compute_dtype)
+
+    one = cache_init(b, cfg.block.num_heads, cfg.block.n_fft,
+                     cfg.block.head_dim)
+
+    def body(h, block_params):
+        cache = spectre_block_prefill(block_params, cfg.block,
+                                      h.astype(jnp.float32), one)
+        h = spectre_block_apply(block_params, cfg.block, h)
+        return h, cache
+
+    h, caches = jax.lax.scan(body, h, params["blocks"])
+    h = layernorm_apply(params["ln_f"], h[:, -1])
+    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    logits = (h @ head.astype(h.dtype)).astype(jnp.float32)
+    return logits, caches
+
+
 def lm_generate(params, cfg: LMConfig, prompt: jnp.ndarray, steps: int,
                 *, rng=None, temperature: float = 0.0):
-    """Greedy/sampled generation from a (B, L) prompt via the O(F) decode
-    path.  Returns (B, steps) generated tokens."""
+    """Greedy/sampled generation from a (B, L) prompt: batched prefill, then
+    the O(F)-per-token decode path.  Returns (B, steps) generated tokens."""
     b, length = prompt.shape
-    caches = lm_decode_init(cfg, b)
-
-    # Feed the prompt token by token (prefill-by-decode keeps one code path;
-    # a batched prefill fast path can replace this without changing results).
-    def feed(carry, i):
-        caches, _ = carry
-        logits, caches = lm_decode_step(params, cfg, prompt[:, i], i, caches)
-        return (caches, logits), None
-
-    (caches, logits), _ = jax.lax.scan(
-        feed, (caches, jnp.zeros((b, cfg.vocab_size))), jnp.arange(length))
+    logits, caches = lm_prefill(params, cfg, prompt)
 
     def sample(logits, key):
         if temperature <= 0.0:
