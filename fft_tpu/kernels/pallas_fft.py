@@ -167,10 +167,10 @@ def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC):
 
     def kernel(*refs):
         if with_memory:
-            (v_ref, gr_ref, gi_ref, gn_ref, mr_ref, mi_ref, mn_ref,
+            (v_ref, gr_ref, gi_ref, gn_ref, e_ref, mr_ref, mi_ref, mn_ref,
              *c_refs) = refs[:-1]
         else:
-            v_ref, gr_ref, gi_ref, gn_ref, *c_refs = refs[:-1]
+            v_ref, gr_ref, gi_ref, gn_ref, e_ref, *c_refs = refs[:-1]
         o_ref = refs[-1]
         (w1r, w1i, twr, twi, w2r, w2i,
          i1r, i1i, itwr, itwi, i2r, i2i,
@@ -200,12 +200,20 @@ def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC):
         # the DC position == sum over rows of z (cheaper than locating DC).
         x_nyq = jnp.sum(zr - zi, axis=0, keepdims=True)  # (1, 128)
 
-        # gate multiply (+ memory), irfft DC/Nyquist convention
-        g_r = gr_ref[0]
-        g_i = gi_ref[0]
+        # gate multiply (+ memory), irfft DC/Nyquist convention.  The gate
+        # arrives COMPACT (one column per head-group); expansion to the 128
+        # channels of this block is a one-hot matmul (Mosaic rejects lane
+        # repeats; the MXU does this for free).
+        e_mat = e_ref[0]                               # (HG, 128) one-hot
+        def expand(g):
+            return jax.lax.dot_general(
+                g, e_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        g_r = expand(gr_ref[0])
+        g_i = expand(gi_ref[0])
         mr = g_r * xr - g_i * xi
         mi = g_r * xi + g_i * xr
-        m_nyq = gn_ref[0] * x_nyq
+        m_nyq = expand(gn_ref[0]) * x_nyq
         if with_memory:
             mr = mr + mr_ref[:]
             mi = mi + mi_ref[:]
@@ -243,17 +251,26 @@ def _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq, *, n_fft,
     n2 = cst["n2"]
 
     grid = (b, d // _DBLK)
+    hg = g_r.shape[-1]                      # compact gate columns (H*G)
     data_specs = [
         pl.BlockSpec((1, n, _DBLK), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n2, _DBLK), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, n2, hg), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n2, _DBLK), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, n2, hg), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, _DBLK), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, 1, hg), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, _DBLK), lambda i, j: (j, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [v, g_r, g_i, g_nyq]
+    # one-hot channel->group expansion per d-block
+    d_per_col = d // hg
+    blk = np.zeros((d // _DBLK, hg, _DBLK), np.float32)
+    for j in range(d // _DBLK):
+        for l in range(_DBLK):
+            blk[j, (j * _DBLK + l) // d_per_col, l] = 1.0
+    args = [v, g_r, g_i, g_nyq, jnp.asarray(blk)]
     if with_memory:
         data_specs += [
             pl.BlockSpec((n2, _DBLK), lambda i, j: (0, j),
@@ -307,6 +324,8 @@ def fused_spectral_mix(
     assert pallas_mix_supported(n_fft), n_fft
     b, n, d = v.shape
     assert n == n_fft and d % _DBLK == 0, (v.shape, n_fft)
+    hg = gate_bc.shape[-1]                # compact (B, F_half, H*G) or full d
+    assert d % hg == 0 and (d // hg) * hg == d, (d, hg)
     cst = _consts(n_fft)
     perm = jnp.asarray(cst["perm"])
 
@@ -329,8 +348,12 @@ def fused_spectral_mix(
 
 def _unfused_mix(v, gate_bc, memory_fft, n_fft):
     """Reference composition through the matmul FFT (same math; used for
-    the backward pass and as the fallback)."""
+    the backward pass and as the fallback).  Accepts the compact
+    (B, F_half, H*G) gate and broadcasts it over channels."""
     from fft_tpu.kernels.matfft import irfft_matmul, rfft_matmul
+    d = v.shape[-1]
+    if gate_bc.shape[-1] != d:
+        gate_bc = jnp.repeat(gate_bc, d // gate_bc.shape[-1], axis=-1)
     mixed = gate_bc * rfft_matmul(v, n_fft, axis=-2)
     if memory_fft is not None:
         mixed = mixed + memory_fft

@@ -60,20 +60,21 @@ def segmented_causal_mix(
     k_segs = k_time.reshape(b, nc, g_groups, nc, chunk)    # (B,c,G,j,C)
     kf = fftops.rfft(k_segs, c2, axis=-1, impl=impl)       # (B,c,G,j,F2)
 
-    # --- banded causal gather: vf_g[b,c,j] = vf[b, c-j] (0 where c<j) -----
-    idx_c = np.arange(nc)[:, None]
-    idx_j = np.arange(nc)[None, :]
-    src = idx_c - idx_j
-    onehot = np.where(src[..., None] == np.arange(nc), 1.0, 0.0)
-    onehot *= (src >= 0)[..., None]
-    onehot = jnp.asarray(onehot.astype(np.float32))        # (c, j, s)
-
+    # --- banded causal sum: Y_c = sum_j K_c^(j) (.) V_{c-j} ---------------
+    # Unrolled over the (small) segment lag j as SHIFTED ELEMENTWISE
+    # multiply-adds — an einsum formulation lowers to thousands of tiny
+    # (nc x nc) matmuls that strand the MXU; these are nc large VPU ops.
+    # (pad-and-shift rather than scatter-add: sliced scatter onto a
+    # sequence-sharded axis miscompiles under GSPMD; shifted full-width
+    # elementwise ops shard cleanly)
     vf_grp = vf.reshape(b, nc, f2, g_groups, d_g)
-    # Single 3-operand einsum so the contraction order folds (onehot, kf)
-    # into a small (b,c,g,s,f) banded-kernel tensor first — never
-    # materializing the O(nc^2 * F2 * d) gathered activations.
-    kf_banded = jnp.einsum("cjs,bcgjf->bcgsf", onehot, kf)
-    y_spec = jnp.einsum("bcgsf,bsfge->bcfge", kf_banded, vf_grp)
+    kf_c = jnp.moveaxis(kf, 3, 1)                          # (b, j, c, G, f2)
+    y_spec = jnp.zeros((b, nc, f2, g_groups, d_g), vf.dtype)
+    for j in range(nc):
+        kj = jnp.moveaxis(kf_c[:, j], -2, -1)[..., None]   # (b, c, f2, G, 1)
+        vj = jnp.pad(vf_grp,
+                     ((0, 0), (j, 0), (0, 0), (0, 0), (0, 0)))[:, :nc]
+        y_spec = y_spec + kj * vj                          # V_{c-j}, 0 if c<j
     y_spec = y_spec.reshape(b, nc, f2, d)
 
     y = fftops.irfft(y_spec, c2, axis=-2, impl=impl)[:, :, chunk:, :]

@@ -154,9 +154,16 @@ def spectre_head_apply_causal(
     # chunk's FIRST position — exactly the decode cache's sum_q at that
     # step, so causal_chunk=1 reproduces decode bit-for-bit.  (Divide by
     # n_fft as the decode path does; harmless post-LN.)
-    csum = jnp.cumsum(q, axis=-2)                            # (B, N, d)
+    # Computed from per-chunk sums + a tiny nc-length exclusive prefix (a
+    # full-sequence cumsum lowers to a slow sequential scan on TPU).
+    pad_n = n_chunks * causal_chunk
+    q_pad = jnp.pad(q, ((0, 0), (0, pad_n - n), (0, 0))) if pad_n > n else q
+    chunk_sums = jnp.sum(
+        q_pad.reshape(b, n_chunks, causal_chunk, d), axis=2)  # (B, nc, d)
+    excl_prefix = jnp.cumsum(chunk_sums, axis=1) - chunk_sums
     starts = jnp.arange(n_chunks) * causal_chunk
-    prev = jnp.take(csum, starts, axis=-2)                   # (B, nc, d)
+    first_tok = jnp.take(q, starts, axis=-2)                 # (B, nc, d)
+    prev = excl_prefix + first_tok
     descr = layernorm_apply(params["q_norm"], prev / cfg.n_fft)
     gate = spectre_gate(params, cfg, descr)                  # (B, nc, G, F)
 
@@ -365,9 +372,10 @@ def spectre_multihead_apply(
 
         vh, gate, q_pools = jax.vmap(gates_and_v)(params["heads"], xh)
         v_all = jnp.moveaxis(vh, 0, 2).reshape(b, n, d)
-        gate_bc = jnp.repeat(jnp.swapaxes(gate, -1, -2),
-                             hcfg.d_group, axis=-1)          # (H, B, F, hd)
-        gate_bc = jnp.moveaxis(gate_bc, 0, 2).reshape(b, cfg.f_half, d)
+        # compact gate: one column per (head, group) — the kernel expands
+        # to channels in-VMEM (16x less gate HBM traffic than broadcasting)
+        gate_bc = jnp.transpose(gate, (1, 3, 0, 2)).reshape(
+            b, cfg.f_half, cfg.num_heads * cfg.num_groups)
         if n < cfg.n_fft:
             v_all = jnp.pad(v_all, ((0, 0), (0, cfg.n_fft - n), (0, 0)))
         mixed = spectral_mix(v_all, gate_bc, memory_fft, cfg.n_fft,
