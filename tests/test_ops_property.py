@@ -59,6 +59,43 @@ def test_pruned_irfft_matches_full_irfft_all_positions():
         np.testing.assert_allclose(single, full[pos], atol=1e-5)
 
 
+def test_gate_bias_neg_inf_zeroes_output():
+    """modReLU bias -> -inf kills the gate, so the whole mixed output (sans
+    memory) is zero (SURVEY §4.2 property)."""
+    from fft_tpu.config import SpectreHeadConfig
+    from fft_tpu.layers import spectre_head_apply, spectre_head_init
+
+    cfg = SpectreHeadConfig(embed_dim=16, n_fft=32, pooling_type="mean",
+                            fft_impl="jnp")
+    params = spectre_head_init(jax.random.key(0), cfg)
+    params = dict(params, modrelu_bias=jnp.full_like(
+        params["modrelu_bias"], -1e9))
+    x = jax.random.normal(jax.random.key(1), (2, 32, 16))
+    out, _ = spectre_head_apply(params, cfg, x)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_memory_injection_equals_time_domain_add():
+    """Adding memory_fft in frequency == adding irfft(memory) in time
+    (SURVEY §4.2 property), including the DC/Nyquist convention."""
+    from fft_tpu.config import SpectreHeadConfig
+    from fft_tpu.layers import spectre_head_apply, spectre_head_init
+
+    cfg = SpectreHeadConfig(embed_dim=16, n_fft=32, pooling_type="mean",
+                            fft_impl="jnp")
+    params = spectre_head_init(jax.random.key(2), cfg)
+    x = jax.random.normal(jax.random.key(3), (2, 32, 16))
+    rng = np.random.default_rng(0)
+    mem = jnp.asarray((rng.standard_normal((17, 16))
+                       + 1j * rng.standard_normal((17, 16))
+                       ).astype(np.complex64))
+    out_mem, _ = spectre_head_apply(params, cfg, x, memory_fft=mem)
+    out_plain, _ = spectre_head_apply(params, cfg, x)
+    mem_time = jnp.fft.irfft(mem, n=32, axis=0)
+    np.testing.assert_allclose(np.asarray(out_mem),
+                               np.asarray(out_plain + mem_time), atol=1e-5)
+
+
 def test_rfft_phasor_is_rank1_fft_update():
     """Appending token v at position p adds exp(-2pi i k p / n) * v to the
     zero-padded window rFFT — the cache invariant (spectre.py:805-806)."""
