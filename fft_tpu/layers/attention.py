@@ -35,10 +35,17 @@ def sliding_window_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window: int
 ) -> jnp.ndarray:
     """q, k, v: (B, N, H, hd); causal attention restricted to the last
-    ``window`` tokens.  N must be a multiple of ``window``."""
+    ``window`` tokens.  Sequences that don't divide into window blocks are
+    zero-padded at the end (causality makes trailing pad invisible to real
+    queries)."""
     b, n, h, hd = q.shape
     w = window
-    assert n % w == 0, (n, w)
+    if n % w:
+        pad = w - n % w
+        cfgpad = ((0, 0), (0, pad), (0, 0), (0, 0))
+        out = sliding_window_attention(jnp.pad(q, cfgpad), jnp.pad(k, cfgpad),
+                                       jnp.pad(v, cfgpad), w)
+        return out[:, :n]
     nb = n // w
     scale = 1.0 / math.sqrt(hd)
 

@@ -83,6 +83,20 @@ def hybrid_init(key, cfg: HybridConfig, dtype=jnp.float32):
     }
 
 
+def _apply_group(group_params, cfg: HybridConfig, h: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+    """One layer group: spectre_per_group SPECTRE blocks + one SWA block.
+    group_params: {'spectre': stacked (S, ...), 'attn': (...)}."""
+    def sp_body(h, p):
+        return spectre_block_apply(p, cfg.block, h,
+                                   deterministic=deterministic), None
+
+    h, _ = jax.lax.scan(sp_body, h, group_params["spectre"])
+    return swa_block_apply(group_params["attn"], h, cfg.attn_heads,
+                           cfg.attn_window,
+                           compute_dtype=cfg.block.compute_dtype)
+
+
 def hybrid_apply(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
                  rngs: Optional[dict] = None, deterministic: bool = True):
     """tokens (B, N) -> logits (B, N, vocab)."""
@@ -92,15 +106,8 @@ def hybrid_apply(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
 
     def group(h, xs):
         sp_params, at_params = xs
-
-        def sp_body(h, p):
-            return spectre_block_apply(p, cfg.block, h,
-                                       deterministic=deterministic), None
-
-        h, _ = jax.lax.scan(sp_body, h, sp_params)
-        h = swa_block_apply(at_params, h, cfg.attn_heads, cfg.attn_window,
-                            compute_dtype=cfg.block.compute_dtype)
-        return h, None
+        return _apply_group({"spectre": sp_params, "attn": at_params},
+                            cfg, h, deterministic=deterministic), None
 
     h, _ = jax.lax.scan(group, h, (params["spectre"], params["attn"]))
     h = layernorm_apply(params["ln_f"], h)
@@ -119,6 +126,40 @@ def hybrid_decode_init(cfg: HybridConfig, batch: int):
     at = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (cfg.num_groups,) + x.shape), at_one)
     return sp, at
+
+
+def hybrid_generate(params, cfg: HybridConfig, prompt: jnp.ndarray,
+                    steps: int, *, rng=None, temperature: float = 0.0):
+    """Greedy/sampled generation for the hybrid stack via its decode caches
+    (SPECTRE prefix-FFT + SWA ring KV).  Returns (B, steps) tokens."""
+    b, length = prompt.shape
+    caches = hybrid_decode_init(cfg, b)
+
+    def feed(carry, i):
+        caches, _ = carry
+        logits, caches = hybrid_decode_step(params, cfg, prompt[:, i], i,
+                                            caches)
+        return (caches, logits), None
+
+    (caches, logits), _ = jax.lax.scan(
+        feed, (caches, jnp.zeros((b, cfg.vocab_size))), jnp.arange(length))
+
+    def sample(logits, key):
+        if temperature <= 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(key, logits / temperature, axis=-1)
+
+    def gen(carry, i):
+        caches, logits, key = carry
+        key, sub = jax.random.split(key)
+        tok = sample(logits, sub)
+        logits, caches = hybrid_decode_step(params, cfg, tok, length + i,
+                                            caches)
+        return (caches, logits, key), tok
+
+    key0 = rng if rng is not None else jax.random.key(0)
+    _, toks = jax.lax.scan(gen, (caches, logits, key0), jnp.arange(steps))
+    return jnp.moveaxis(toks, 0, 1)
 
 
 def hybrid_decode_step(params, cfg: HybridConfig, token: jnp.ndarray, pos,

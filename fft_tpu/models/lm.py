@@ -32,6 +32,9 @@ class LMConfig:
     max_seq: int
     tie_embeddings: bool = True
     emb_init_std: float = 0.02
+    # rematerialize each block in backward (trade FLOPs for activation
+    # memory — required for the 350M/seq-16k configs on one chip)
+    remat: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -61,6 +64,7 @@ def spectre_350m_config(vocab_size: int = 50432, seq: int = 16384) -> LMConfig:
         vocab_size=vocab_size,
         num_layers=24,
         max_seq=seq,
+        remat=True,
         block=SpectreConfig(
             embed_dim=1024, num_heads=16, n_fft=seq, pooling_type="mean",
             wavelet_on_rate=0.0, causal=True, causal_chunk=512,
@@ -106,19 +110,32 @@ def _run_blocks(params, cfg: LMConfig, h, rngs, deterministic):
                                 deterministic=deterministic)
         return h, None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     h, _ = jax.lax.scan(body, h, (params["blocks"], layer_rngs))
     return h
+
+
+def lm_hidden(params, cfg: LMConfig, tokens: jnp.ndarray, *,
+              rngs: Optional[dict] = None, deterministic: bool = True):
+    """tokens (B, N) -> final-LN hidden states (B, N, d)."""
+    n = tokens.shape[-1]
+    h = (params["tok_emb"][tokens] + params["pos_emb"][:n]).astype(
+        cfg.block.compute_dtype)
+    h = _run_blocks(params, cfg, h, rngs, deterministic)
+    return layernorm_apply(params["ln_f"], h)
+
+
+def lm_head_matrix(params, cfg: LMConfig):
+    return params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
 
 
 def lm_apply(params, cfg: LMConfig, tokens: jnp.ndarray, *,
              rngs: Optional[dict] = None, deterministic: bool = True):
     """tokens (B, N) int32 -> logits (B, N, vocab)."""
-    n = tokens.shape[-1]
-    h = (params["tok_emb"][tokens] + params["pos_emb"][:n]).astype(
-        cfg.block.compute_dtype)
-    h = _run_blocks(params, cfg, h, rngs, deterministic)
-    h = layernorm_apply(params["ln_f"], h)
-    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    h = lm_hidden(params, cfg, tokens, rngs=rngs,
+                  deterministic=deterministic)
+    head = lm_head_matrix(params, cfg)
     # logits in fp32 for a stable softmax/loss regardless of compute dtype
     return (h @ head.astype(h.dtype)).astype(jnp.float32)
 

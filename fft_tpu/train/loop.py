@@ -62,12 +62,47 @@ def make_optimizer(tcfg: TrainConfig, params) -> optax.GradientTransformation:
 
 
 def lm_loss(params, model_cfg, tokens: jnp.ndarray, *,
-            rngs: Optional[dict] = None, deterministic: bool = False):
-    """Next-token cross entropy; tokens (B, N+1) -> scalar mean nats."""
-    from fft_tpu.models.lm import lm_apply
+            rngs: Optional[dict] = None, deterministic: bool = False,
+            logits_chunk: int = 2048):
+    """Next-token cross entropy; tokens (B, N+1) -> scalar mean nats.
+
+    The fp32 logits tensor (B, N, vocab) dominates memory at long context
+    (3.3 GB at seq 16k x 50k vocab), so the head matmul + softmax runs in
+    rematerialized sequence chunks — full-length logits never exist."""
+    from fft_tpu.models.lm import lm_head_matrix, lm_hidden
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
-    logits = lm_apply(params, model_cfg, inputs, rngs=rngs,
-                      deterministic=deterministic)
+    h = lm_hidden(params, model_cfg, inputs, rngs=rngs,
+                  deterministic=deterministic)
+    head = lm_head_matrix(params, model_cfg)
+    n = h.shape[1]
+    chunk = min(logits_chunk, n)
+    if n % chunk:
+        chunk = n                        # fall back to one shot
+    nchunks = n // chunk
+
+    @jax.checkpoint
+    def chunk_ce(hc, tc):
+        logits = (hc @ head.astype(hc.dtype)).astype(jnp.float32)
+        return jnp.sum(
+            optax.softmax_cross_entropy_with_integer_labels(logits, tc))
+
+    def body(acc, idx):
+        hc = jax.lax.dynamic_slice_in_dim(h, idx * chunk, chunk, axis=1)
+        tc = jax.lax.dynamic_slice_in_dim(targets, idx * chunk, chunk,
+                                          axis=1)
+        return acc + chunk_ce(hc, tc), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(nchunks))
+    return total / (targets.shape[0] * n)
+
+
+def hybrid_loss(params, model_cfg, tokens: jnp.ndarray, *,
+                rngs: Optional[dict] = None, deterministic: bool = False):
+    """Next-token cross entropy for the hybrid SPECTRE+SWA LM (config 5)."""
+    from fft_tpu.models.hybrid import hybrid_apply
+    inputs, targets = tokens[:, :-1], tokens[:, 1:]
+    logits = hybrid_apply(params, model_cfg, inputs, rngs=rngs,
+                          deterministic=deterministic)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
     return jnp.mean(losses)
 
