@@ -65,9 +65,12 @@ def spectre_350m_config(vocab_size: int = 50432, seq: int = 16384) -> LMConfig:
         num_layers=24,
         max_seq=seq,
         remat=True,
+        # chunk = seq/16 keeps the segmented causal working set (which
+        # scales with nc^2 * chunk = nc * seq) inside one chip's HBM at 16k
         block=SpectreConfig(
             embed_dim=1024, num_heads=16, n_fft=seq, pooling_type="mean",
-            wavelet_on_rate=0.0, causal=True, causal_chunk=512,
+            wavelet_on_rate=0.0, causal=True,
+            causal_chunk=max(512, seq // 16),
             memory_size=0),
     )
 
