@@ -111,6 +111,29 @@ def _pool_descriptor(params, cfg: SpectreHeadConfig, q: jnp.ndarray):
     return layernorm_apply(params["q_norm"], pooled)
 
 
+def causal_chunk_gates(params, cfg: SpectreHeadConfig, q: jnp.ndarray,
+                       n_chunks: int, causal_chunk: int) -> jnp.ndarray:
+    """Per-chunk gates from causal cumulative descriptors: tokens up to and
+    including the chunk's FIRST position — exactly the decode cache's sum_q
+    at that step, so causal_chunk=1 reproduces decode bit-for-bit.  (Divide
+    by n_fft as the decode path does; harmless post-LN.)
+
+    Computed from per-chunk sums + a tiny nc-length exclusive prefix (a
+    full-sequence cumsum lowers to a slow sequential scan on TPU).
+    Returns (B, nc, G, F_half) complex."""
+    b, n, d = q.shape
+    pad_n = n_chunks * causal_chunk
+    q_pad = jnp.pad(q, ((0, 0), (0, pad_n - n), (0, 0))) if pad_n > n else q
+    chunk_sums = jnp.sum(
+        q_pad.reshape(b, n_chunks, causal_chunk, d), axis=2)  # (B, nc, d)
+    excl_prefix = jnp.cumsum(chunk_sums, axis=1) - chunk_sums
+    starts = jnp.arange(n_chunks) * causal_chunk
+    first_tok = jnp.take(q, starts, axis=-2)                 # (B, nc, d)
+    prev = excl_prefix + first_tok
+    descr = layernorm_apply(params["q_norm"], prev / cfg.n_fft)
+    return spectre_gate(params, cfg, descr)                  # (B, nc, G, F)
+
+
 def spectre_head_apply_causal(
     params,
     cfg: SpectreHeadConfig,
@@ -149,23 +172,7 @@ def spectre_head_apply_causal(
 
     q = linear_apply(params["w_q"], x)
     v = linear_apply(params["w_v"], x)
-
-    # Causal cumulative descriptor per chunk: tokens up to and including the
-    # chunk's FIRST position — exactly the decode cache's sum_q at that
-    # step, so causal_chunk=1 reproduces decode bit-for-bit.  (Divide by
-    # n_fft as the decode path does; harmless post-LN.)
-    # Computed from per-chunk sums + a tiny nc-length exclusive prefix (a
-    # full-sequence cumsum lowers to a slow sequential scan on TPU).
-    pad_n = n_chunks * causal_chunk
-    q_pad = jnp.pad(q, ((0, 0), (0, pad_n - n), (0, 0))) if pad_n > n else q
-    chunk_sums = jnp.sum(
-        q_pad.reshape(b, n_chunks, causal_chunk, d), axis=2)  # (B, nc, d)
-    excl_prefix = jnp.cumsum(chunk_sums, axis=1) - chunk_sums
-    starts = jnp.arange(n_chunks) * causal_chunk
-    first_tok = jnp.take(q, starts, axis=-2)                 # (B, nc, d)
-    prev = excl_prefix + first_tok
-    descr = layernorm_apply(params["q_norm"], prev / cfg.n_fft)
-    gate = spectre_gate(params, cfg, descr)                  # (B, nc, G, F)
+    gate = causal_chunk_gates(params, cfg, q, n_chunks, causal_chunk)
 
     if causal_impl == "segmented" and n % causal_chunk == 0:
         # overlap-save block convolution: identical math, shard-local FFTs
@@ -414,6 +421,41 @@ def spectre_multihead_apply(
         assert cfg.wavelet_on_rate == 0.0, (
             "the wavelet branch is non-causal; set wavelet_on_rate=0 for "
             "causal models")
+
+        chunk = min(cfg.causal_chunk, n)
+        if cfg.causal_impl == "segmented" and n % chunk == 0:
+            # Multihead fast path: heads' mixes are channel-pointwise, so
+            # ALL heads run as ONE full-d-width segmented convolution
+            # (per-head arrays leave half the 128-lane axis empty at
+            # hd=64; this path also fuses 1 graph instead of H).
+            from fft_tpu.layers.causal_seg import segmented_causal_mix
+            nc = n // chunk
+
+            def gates_and_qv(hp, xi):
+                q = linear_apply(hp["w_q"], xi)
+                vv = linear_apply(hp["w_v"], xi)
+                g = causal_chunk_gates(hp, hcfg, q, nc, chunk)
+                q_pool = layernorm_apply(
+                    hp["q_norm"], jnp.sum(q, axis=-2) / cfg.n_fft)
+                return vv, g, q_pool
+
+            vh, gate, q_pools = jax.vmap(gates_and_qv)(params["heads"], xh)
+            v_all = jnp.moveaxis(vh, 0, 2).reshape(b, n, d)
+            # gate columns h-major then group => channel c // d_g == h*G+g
+            gate_all = jnp.transpose(gate, (1, 2, 0, 3, 4)).reshape(
+                b, nc, cfg.num_heads * cfg.num_groups, cfg.f_half)
+            mixed = segmented_causal_mix(v_all, gate_all, hcfg, chunk)
+            if memory_fft is not None:
+                mem_time = fftops.irfft(memory_fft[None], cfg.n_fft,
+                                        axis=-2, impl=hcfg.fft_impl)[0]
+                mixed = mixed + mem_time[:n].astype(mixed.dtype)
+            mixed = mixed.astype(x.dtype)
+            if not deterministic and cfg.dropout_p > 0.0:
+                keep = 1.0 - cfg.dropout_p
+                mask = jax.random.bernoulli(rngs["dropout"], keep,
+                                            mixed.shape)
+                mixed = jnp.where(mask, mixed / keep, 0.0)
+            return linear_apply(params["out_proj"], mixed)
 
         def run(hp, xi, mem, drng):
             return spectre_head_apply_causal(
