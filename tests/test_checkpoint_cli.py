@@ -46,6 +46,21 @@ def test_checkpoint_prunes_old(tmp_path):
     assert kept == [4, 5]
 
 
+def test_cli_train_multidevice(tmp_path):
+    """CLI training on a dp=2 x tp=2 mesh over the fake CPU devices."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from fft_tpu.cli import main
+    metrics = str(tmp_path / "m.jsonl")
+    main(["train-lm", "--steps", "3", "--batch", "4", "--seq", "16",
+          "--dp", "2", "--tp", "2", "--metrics", metrics,
+          "--log-every", "1"])
+    lines = [json.loads(l) for l in
+             pathlib.Path(metrics).read_text().splitlines()]
+    assert all(l["loss"] > 0 for l in lines)
+
+
 def test_cli_train_resume_generate(tmp_path, capsys):
     from fft_tpu.cli import main
     ck = str(tmp_path / "ck")
