@@ -43,6 +43,17 @@ def test_head_forward_matmul_fft():
     assert rel_err(out, g["out"]) < TOL
 
 
+def test_head_forward_pos_phase():
+    """Explicit absolute-position phase injection (spectre.py:534-536)."""
+    g = load("head_posphase")
+    cfg = SpectreHeadConfig(embed_dim=16, n_fft=64, pooling_type="mean",
+                            fft_impl="jnp", interp_reference_compat=True)
+    params = map_head_params(g, cfg)
+    out, _ = spectre_head_apply(params, cfg, jnp.asarray(g["x"]),
+                                pos_phase=jnp.asarray(g["pos_phase"])[None])
+    assert rel_err(out, g["out"]) < TOL
+
+
 def test_multihead_no_wavelet():
     g = load("multihead_nowave")
     cfg = SpectreConfig(embed_dim=64, num_heads=4, n_fft=128,

@@ -106,6 +106,18 @@ def main():
         save(f"head_{tag}", x=t2n(xh_in), memory=t2n(mem), out=t2n(res),
              out_nomem=t2n(res_nomem), q_pool=t2n(qp), **state_arrays(head))
 
+    # ---- SpectreHead with explicit absolute-position phase -----------------
+    torch.manual_seed(6)
+    head_pp = ref.SpectreHead(16, fft_size=64, pooling_type="mean")
+    head_pp.eval()
+    x_pp = torch.randn(2, 64, 16)
+    k = torch.arange(33, dtype=torch.float32)
+    phase = torch.exp(1j * 2 * torch.pi * k * 3.0 / 64.0)    # pos p=3
+    with torch.no_grad():
+        out_pp = head_pp(x_pp, pos_phase=phase.unsqueeze(0))  # (1, F_half)
+    save("head_posphase", x=t2n(x_pp), pos_phase=t2n(phase),
+         out=t2n(out_pp), **state_arrays(head_pp))
+
     # ---- SpectreMultiHead (wavelet off; then wavelet always-on) -----------
     torch.manual_seed(2)
     mh = ref.SpectreMultiHead(64, 4, 128, pooling_type="mean",
