@@ -60,6 +60,16 @@ def segmented_causal_mix(
     k_segs = k_time.reshape(b, nc, g_groups, nc, chunk)    # (B,c,G,j,C)
     kf = fftops.rfft(k_segs, c2, axis=-1, impl=impl)       # (B,c,G,j,F2)
 
+    # --- fused Pallas path: banded sum + partial irfft in one VMEM pass ---
+    from fft_tpu.kernels import pallas_causal as pc
+    if (cfg.fft_impl == "pallas" and d % 128 == 0
+            and pc.banded_supported(nc, f2)):
+        kfc = jnp.transpose(kf, (0, 1, 3, 4, 2))       # (B, c, j, F2, G)
+        y = pc.banded_inverse(
+            jnp.real(vf), jnp.imag(vf), jnp.real(kfc), jnp.imag(kfc),
+            chunk, cfg.compute_dtype == "bfloat16", pc.INTERPRET)
+        return y.reshape(b, n, d).astype(v.dtype)
+
     # --- banded causal sum: Y_c = sum_j K_c^(j) (.) V_{c-j} ---------------
     # Unrolled over the (small) segment lag j as SHIFTED ELEMENTWISE
     # multiply-adds — an einsum formulation lowers to thousands of tiny
