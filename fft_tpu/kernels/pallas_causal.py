@@ -44,8 +44,10 @@ INTERPRET = False
 
 
 def banded_supported(nc: int, f2: int) -> bool:
-    """VMEM bound: the resident spectra block (nc, F2, 128) x re/im f32."""
-    return nc * f2 * _DBLK * 4 * 2 <= 6 * 1024 * 1024
+    """VMEM bound for the resident spectra block (nc, F2, 128) x re/im f32.
+    Empirical compile ceiling on v5e: 2.1 MB blocks compile, 4.2 MB do not
+    (Mosaic double-buffers; plus kernel-segment and output blocks)."""
+    return nc * f2 * _DBLK * 4 * 2 <= 3 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)

@@ -62,8 +62,11 @@ def segmented_causal_mix(
 
     # --- fused Pallas path: banded sum + partial irfft in one VMEM pass ---
     from fft_tpu.kernels import pallas_causal as pc
-    if (cfg.fft_impl == "pallas" and d % 128 == 0
-            and pc.banded_supported(nc, f2)):
+    import jax as _jax
+    use_pallas = (cfg.fft_impl == "pallas"
+                  or (cfg.fft_impl == "auto"
+                      and _jax.default_backend() != "cpu"))
+    if use_pallas and d % 128 == 0 and pc.banded_supported(nc, f2):
         kfc = jnp.transpose(kf, (0, 1, 3, 4, 2))       # (B, c, j, F2, G)
         y = pc.banded_inverse(
             jnp.real(vf), jnp.imag(vf), jnp.real(kfc), jnp.imag(kfc),
