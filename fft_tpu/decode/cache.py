@@ -143,9 +143,23 @@ def cache_decode_step(
 # ---------------------------------------------------------------------------
 
 def _decode_descriptor(params, cfg: SpectreHeadConfig, cache: PrefixFFTCache):
-    """Streaming gate descriptor.  ``reference`` divides by N even for a
-    partially-filled window (spectre.py:578, SURVEY §3.6-C2); ``consistent``
-    divides by the true token count, matching forward's mean pooling."""
+    """Streaming gate descriptor.
+
+    - ``reference``: sum_q / N even for a partially-filled window
+      (spectre.py:578, SURVEY §3.6-C2).
+    - ``consistent``: divide by the true token count.
+    - ``window``: run the head's CONFIGURED pooler (mean/attention/DCT) over
+      the chronologically-ordered ring buffer — the streaming counterpart
+      the reference lacks (its decode always mean-pools regardless of
+      pooling_type).  Exactly matches forward once the window is full;
+      costs O(N·d) per step instead of O(d).
+    """
+    if cfg.decode_descriptor == "window":
+        from fft_tpu.layers.spectre import _pool_descriptor
+        shift = -jnp.mod(cache.t + 1, cache.n_fft)
+        q_seq = jnp.roll(cache.q_buf, shift, axis=-2)      # (B, H, N, hd)
+        return jax.vmap(lambda hp, qs: _pool_descriptor(hp, cfg, qs),
+                        in_axes=(0, 1), out_axes=1)(params, q_seq)
     if cfg.decode_descriptor == "consistent":
         count = jnp.minimum(cache.t + 1, cache.n_fft).astype(cache.sum_q.dtype)
     else:

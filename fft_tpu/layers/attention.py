@@ -58,22 +58,30 @@ def sliding_window_attention(
     k2 = jnp.concatenate([k_prev, kb], axis=2)            # (B, nb, 2W, H, hd)
     v2 = jnp.concatenate([v_prev, vb], axis=2)
 
-    scores = jnp.einsum("bnqhd,bnkhd->bnhqk", qb, k2,
-                        preferred_element_type=jnp.float32) * scale
-
     # mask: query position (in-block) i attends key position j of the 2W
-    # span iff 0 < (i + W - j) <= W  (causal, window length W), and block 0
+    # span iff 0 <= (i + W - j) < W  (causal, window length W), and block 0
     # has no previous block.
     qi = jnp.arange(w)[:, None]
     kj = jnp.arange(2 * w)[None, :]
     dist = qi + w - kj
     band = (dist >= 0) & (dist < w)                        # (W, 2W)
-    first_block = jnp.arange(nb)[:, None, None] == 0
-    valid = band[None] & ~(first_block & (kj[None] < w))
-    scores = jnp.where(valid[None, :, None], scores, -jnp.inf)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bnhqk,bnkhd->bnqhd", probs, v2)
+    def one_block(args):
+        i, qc, kc, vc = args
+        s = jnp.einsum("bqhd,bkhd->bhqk", qc, kc,
+                       preferred_element_type=jnp.float32) * scale
+        valid = band & ~((i == 0) & (kj < w))
+        s = jnp.where(valid[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1).astype(vc.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, vc)
+
+    # lax.map over query blocks bounds live score memory to one
+    # (B, H, W, 2W) tile (the all-blocks einsum is O(N*W) scores — 4.3 GB
+    # at seq 32k, window 1024, which starves large-model training).
+    out = jax.lax.map(one_block,
+                      (jnp.arange(nb), jnp.moveaxis(qb, 1, 0),
+                       jnp.moveaxis(k2, 1, 0), jnp.moveaxis(v2, 1, 0)))
+    out = jnp.moveaxis(out, 0, 1)                          # (B, nb, W, H, hd)
     return out.reshape(b, n, h, hd)
 
 

@@ -105,6 +105,30 @@ def test_block_decode_equals_forward_with_memory():
         assert rel_err(y, np.asarray(fwd[:, -1])) < 5e-5, i
 
 
+def test_decode_window_descriptor_attention_pooling():
+    """decode_descriptor='window' runs the configured pooler over the ring
+    buffer: decode == forward holds for ATTENTION pooling too (the
+    reference's decode always mean-pools, SURVEY §3.6-C2)."""
+    cfg = SpectreConfig(embed_dim=32, num_heads=4, n_fft=16,
+                        pooling_type="attention", wavelet_on_rate=0.0,
+                        decode_descriptor="window", fft_impl="jnp")
+    params = spectre_multihead_init(jax.random.key(10), cfg)
+    n = cfg.n_fft
+    x = jax.random.normal(jax.random.key(11), (2, n + 4, 32)) * 0.5
+
+    heads = params["heads"]
+    xh = jnp.moveaxis(x[:, :n].reshape(2, n, 4, 8), 2, 1)
+    q0 = jnp.einsum("bhli,hio->bhlo", xh, heads["w_q"]["w"])
+    v0 = jnp.einsum("bhli,hio->bhlo", xh, heads["w_v"]["w"])
+    cache = cache_prefill(cache_init(2, 4, n, 8), q0, v0, fft_impl="jnp")
+
+    for i in range(4):
+        y, cache = spectre_multihead_decode_step(params, cfg, x[:, n + i],
+                                                 cache)
+        fwd = spectre_multihead_apply(params, cfg, x[:, i + 1:n + i + 1])
+        assert rel_err(y, np.asarray(fwd[:, -1])) < 5e-5, i
+
+
 def test_eviction_drift_bounded():
     """Decode far past the window (t >> N): the incrementally-maintained
     spectrum must stay close to the exact rFFT of the current window
