@@ -125,7 +125,8 @@ def _consts(n_fft: int) -> Tuple:
     )
 
 
-def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC):
+def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC,
+                 dblk: int = _DBLK):
     cst = _consts(n_fft)
     n2, f1, f2 = cst["n2"], cst["f1"], cst["f2"]
     b0r, b0i = cst["b0"].real, cst["b0"].imag
@@ -177,17 +178,17 @@ def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC):
          afr, afi, bfr, bfi, air, aii, cir, cii, dc) = (
             r[:] for r in c_refs)
 
-        v = v_ref[0].astype(jnp.float32)               # (N, 128)
-        zr = v.reshape(n2, 2, _DBLK)[:, 0, :]
-        zi = v.reshape(n2, 2, _DBLK)[:, 1, :]
+        v = v_ref[0].astype(jnp.float32)               # (N, dblk)
+        zr = v.reshape(n2, 2, dblk)[:, 0, :]
+        zi = v.reshape(n2, 2, dblk)[:, 1, :]
 
         # one pair of real-input transforms gives P and Zc; both run in a
         # single lane-stacked pass: v.reshape(n2, 2*DBLK) IS [zr | zi]
         # lane-concatenated for free (row m = [v[2m,:], v[2m+1,:]])
-        zs = v.reshape(n2, 2 * _DBLK)
+        zs = v.reshape(n2, 2 * dblk)
         fsr, fsi = dft_stages(zs, None, w1r, w1i, twr, twi, w2r, w2i)
-        frr, fir = fsr[:, :_DBLK], fsr[:, _DBLK:]
-        fri, fii = fsi[:, :_DBLK], fsi[:, _DBLK:]
+        frr, fir = fsr[:, :dblk], fsr[:, dblk:]
+        fri, fii = fsi[:, :dblk], fsi[:, dblk:]
         pr = frr - fii
         pi = fri + fir
         zcr = frr + fii
@@ -230,7 +231,7 @@ def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC):
         z_r = t1r + t2r + b0r * m_nyq
         z_i = t1i + t2i + b0i * m_nyq
 
-        y = jnp.stack([z_r, z_i], axis=1).reshape(n_fft, _DBLK)
+        y = jnp.stack([z_r, z_i], axis=1).reshape(n_fft, dblk)
         o_ref[0] = y.astype(o_ref.dtype)
 
     return kernel, cst
@@ -242,18 +243,22 @@ def _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq, *, n_fft,
                     interpret=False, fast=False):
     b, n, d = v.shape
     with_memory = mem_r is not None
+    # Channel block width.  Measured on v5e at n=1024: 128 = 0.304 ms,
+    # 256 = 0.321 ms, 512 = VMEM OOM (~10 live (n2, 2*dblk) f32 buffers) —
+    # the kernel is not dispatch-bound, so stay at the minimum tile.
+    dblk = _DBLK
     # fast=True uses single-pass bf16 MXU passes (~4e-3 rel, fits the bf16
     # budget and is ~2.4x the HIGHEST-precision kernel); fast=False keeps
     # fp32-accurate 6-pass matmuls (2e-7).
     kernel, cst = _make_kernel(
         n_fft, with_memory,
-        precision=jax.lax.Precision.DEFAULT if fast else _PREC)
+        precision=jax.lax.Precision.DEFAULT if fast else _PREC, dblk=dblk)
     n2 = cst["n2"]
 
-    grid = (b, d // _DBLK)
+    grid = (b, d // dblk)
     hg = g_r.shape[-1]                      # compact gate columns (H*G)
     data_specs = [
-        pl.BlockSpec((1, n, _DBLK), lambda i, j: (i, 0, j),
+        pl.BlockSpec((1, n, dblk), lambda i, j: (i, 0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n2, hg), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -261,23 +266,23 @@ def _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq, *, n_fft,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, hg), lambda i, j: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hg, _DBLK), lambda i, j: (j, 0, 0),
+        pl.BlockSpec((1, hg, dblk), lambda i, j: (j, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     # one-hot channel->group expansion per d-block
     d_per_col = d // hg
-    blk = np.zeros((d // _DBLK, hg, _DBLK), np.float32)
-    for j in range(d // _DBLK):
-        for l in range(_DBLK):
-            blk[j, (j * _DBLK + l) // d_per_col, l] = 1.0
+    blk = np.zeros((d // dblk, hg, dblk), np.float32)
+    for j in range(d // dblk):
+        for l in range(dblk):
+            blk[j, (j * dblk + l) // d_per_col, l] = 1.0
     args = [v, g_r, g_i, g_nyq, jnp.asarray(blk)]
     if with_memory:
         data_specs += [
-            pl.BlockSpec((n2, _DBLK), lambda i, j: (0, j),
+            pl.BlockSpec((n2, dblk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, _DBLK), lambda i, j: (0, j),
+            pl.BlockSpec((n2, dblk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _DBLK), lambda i, j: (0, j),
+            pl.BlockSpec((1, dblk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ]
         args += [mem_r, mem_i, mem_nyq]
@@ -296,9 +301,9 @@ def _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq, *, n_fft,
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((b, n, _DBLK * grid[1]), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, dblk * grid[1]), v.dtype),
         in_specs=data_specs,
-        out_specs=pl.BlockSpec((1, n, _DBLK), lambda i, j: (i, 0, j),
+        out_specs=pl.BlockSpec((1, n, dblk), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
