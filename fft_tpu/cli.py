@@ -67,18 +67,23 @@ def cmd_train_lm(args):
                       in_shardings=(state_sh, batch_sh),
                       out_shardings=(state_sh, None))
 
-    batches = None
-    if args.data is not None:
-        try:
-            from fft_tpu.train.native_loader import NativeCharLoader
-            batches = iter(NativeCharLoader(args.data, args.batch, args.seq,
-                                            seed=args.seed))
-            print("using native C++ data loader")
-        except Exception as e:          # fall back to the Python pipeline
-            print(f"native loader unavailable ({e}); using Python loader")
-    if batches is None:
+    def make_batches(seed):
+        if args.data is not None:
+            try:
+                from fft_tpu.train.native_loader import NativeCharLoader
+                it = iter(NativeCharLoader(args.data, args.batch, args.seq,
+                                           seed=seed))
+                print("using native C++ data loader")
+                return it
+            except Exception as e:      # fall back to the Python pipeline
+                print(f"native loader unavailable ({e}); "
+                      "using Python loader")
         data = CharDataset(path=args.data)
-        batches = data.batches(args.batch, args.seq, seed=args.seed)
+        return data.batches(args.batch, args.seq, seed=seed)
+
+    # Resumed runs re-seed by the resumed step so the stream continues with
+    # fresh batches instead of repeating the run's first ones.
+    batches = make_batches(args.seed + start)
     logger = MetricsLogger(args.metrics, print_every=args.log_every)
     tokens_per_step = args.batch * args.seq
 
@@ -87,6 +92,9 @@ def cmd_train_lm(args):
         from fft_tpu.train import lm_loss
         eval_fn = jax.jit(lambda p, b: lm_loss(p, cfg, b,
                                                deterministic=True))
+        # Separately-seeded held-out stream: eval never consumes (or
+        # overlaps with) training batches.
+        eval_batches = make_batches(args.seed + 7919)
 
     for i, batch in zip(range(start, args.steps), batches):
         batch = jax.device_put(batch, batch_sh)
@@ -101,7 +109,7 @@ def cmd_train_lm(args):
             rec = {"loss": metrics["loss"],
                    "grad_norm": metrics["grad_norm"]}
             if eval_fn is not None and i % args.eval_every == 0:
-                eval_batch = jax.device_put(next(batches), batch_sh)
+                eval_batch = jax.device_put(next(eval_batches), batch_sh)
                 ce = float(eval_fn(state.params, eval_batch))
                 rec["eval_loss"] = ce
                 rec["eval_ppl"] = float(np.exp(min(ce, 20.0)))

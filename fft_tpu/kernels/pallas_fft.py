@@ -388,13 +388,3 @@ def _mix_bwd(n_fft, fast, res, ybar):
 
 
 spectral_mix.defvjp(_mix_fwd, _mix_bwd)
-
-
-def rfft_pallas(x, n, axis=-2):  # pragma: no cover - placeholder
-    raise NotImplementedError(
-        "standalone pallas rFFT not provided; use fused_spectral_mix")
-
-
-def irfft_pallas(x, n, axis=-2):  # pragma: no cover - placeholder
-    raise NotImplementedError(
-        "standalone pallas irFFT not provided; use fused_spectral_mix")

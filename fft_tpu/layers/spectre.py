@@ -361,11 +361,14 @@ def spectre_multihead_apply(
 
     # Fused Pallas path: heads' mixes are pointwise per channel, so ALL
     # heads concat into ONE d-wide fused rFFT->gate->irFFT kernel call.
-    if (cfg.fft_impl == "pallas" and not cfg.causal and sp_mesh is None):
-        from fft_tpu.kernels.pallas_fft import (
-            pallas_mix_supported, spectral_mix)
-        assert pallas_mix_supported(cfg.n_fft) and d % 128 == 0, (
-            f"pallas mix unsupported for n_fft={cfg.n_fft}, d={d}")
+    # Unsupported (n_fft, d) combinations fall through to the matmul-FFT
+    # composition below — same math, unfused.
+    use_fused = cfg.fft_impl == "pallas" and not cfg.causal and sp_mesh is None
+    if use_fused:
+        from fft_tpu.kernels.pallas_fft import pallas_mix_supported
+        use_fused = pallas_mix_supported(cfg.n_fft) and d % 128 == 0
+    if use_fused:
+        from fft_tpu.kernels.pallas_fft import spectral_mix
 
         def gates_and_v(hp, xi):
             q = linear_apply(hp["w_q"], xi)

@@ -133,6 +133,9 @@ def hybrid_generate(params, cfg: HybridConfig, prompt: jnp.ndarray,
     """Greedy/sampled generation for the hybrid stack via its decode caches
     (SPECTRE prefix-FFT + SWA ring KV).  Returns (B, steps) tokens."""
     b, length = prompt.shape
+    assert length + steps <= cfg.max_seq, (
+        f"generation to position {length + steps} exceeds max_seq "
+        f"{cfg.max_seq} (pos_emb would silently clamp)")
     caches = hybrid_decode_init(cfg, b)
 
     def feed(carry, i):

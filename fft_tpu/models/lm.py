@@ -203,6 +203,9 @@ def lm_generate(params, cfg: LMConfig, prompt: jnp.ndarray, steps: int,
     """Greedy/sampled generation from a (B, L) prompt: batched prefill, then
     the O(F)-per-token decode path.  Returns (B, steps) generated tokens."""
     b, length = prompt.shape
+    assert length + steps <= cfg.max_seq, (
+        f"generation to position {length + steps} exceeds max_seq "
+        f"{cfg.max_seq} (pos_emb would silently clamp)")
     logits, caches = lm_prefill(params, cfg, prompt)
 
     def sample(logits, key):

@@ -9,7 +9,11 @@ the layer code is implementation-agnostic:
   DFT stages expressed as dense matmuls over radix-≤128 factors, which XLA
   tiles onto the systolic array; preferred on TPU for large batched
   transforms.
-- ``pallas`` — fused Pallas kernel path (fft_tpu.kernels.pallas_fft).
+- ``pallas`` — selects the fused Pallas kernels at the LAYER level
+  (fft_tpu.kernels.pallas_fft / pallas_causal); any standalone transform
+  under this config resolves to ``auto`` (there is deliberately no
+  standalone Pallas rFFT — an unfused Pallas transform would be strictly
+  worse than the matmul FFT, which XLA already tiles onto the MXU).
 - ``auto``   — pick per (impl availability, size) at trace time.
 """
 
@@ -21,6 +25,13 @@ _IMPLS = ("auto", "jnp", "matmul", "pallas")
 
 
 def _resolve(impl: str, n: int) -> str:
+    assert impl in _IMPLS, impl
+    if impl == "pallas":
+        # "pallas" selects the FUSED mix/causal kernels, which the layers
+        # dispatch to directly; a *standalone* transform under that config
+        # (decode prefill, memory injection, the fft2n causal branch) runs
+        # on the MXU matmul FFT — same numerics, no fused analogue needed.
+        impl = "auto"
     if impl == "auto":
         # matmul-FFT requires n to factor into radices <= 128; power-of-two
         # sizes always qualify.  Small transforms stay on jnp.
@@ -28,7 +39,6 @@ def _resolve(impl: str, n: int) -> str:
         if n >= 128 and plan_factors(n) is not None:
             return "matmul"
         return "jnp"
-    assert impl in _IMPLS, impl
     return impl
 
 
@@ -38,9 +48,6 @@ def rfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto") -> jnp.ndar
     if impl == "matmul":
         from fft_tpu.kernels.matfft import rfft_matmul
         return rfft_matmul(x, n, axis=axis)
-    if impl == "pallas":
-        from fft_tpu.kernels.pallas_fft import rfft_pallas
-        return rfft_pallas(x, n, axis=axis)
     return jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=axis)
 
 
@@ -50,7 +57,4 @@ def irfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto") -> jnp.nda
     if impl == "matmul":
         from fft_tpu.kernels.matfft import irfft_matmul
         return irfft_matmul(x, n, axis=axis)
-    if impl == "pallas":
-        from fft_tpu.kernels.pallas_fft import irfft_pallas
-        return irfft_pallas(x, n, axis=axis)
     return jnp.fft.irfft(x, n=n, axis=axis)
