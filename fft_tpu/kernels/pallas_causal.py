@@ -5,23 +5,25 @@ nc times (once per banded term) and round-trips the summed spectrum through
 HBM before the inverse FFT.  This kernel runs the banded sum AND the
 inverse transform in VMEM:
 
-  grid = (batch, d/128, chunk) with the chunk axis innermost: the segment
-  spectra block's index map is invariant in the chunk dimension, so Mosaic
-  keeps it RESIDENT in VMEM across all nc chunk steps — the spectra are
-  read from HBM once instead of nc times.
+  grid = (batch, d/128, chunk, f2-block), frequency-block innermost:
 
-  per (b, dblk, c):
-    acc(f2, 128)  = sum_{j<=c} expand(K[c, j]) (.) V[c-j]     (VPU + one-hot
-                                                               MXU expand)
-    y_c(C, 128)   = A_r @ Re(acc) + A_i @ Im(acc)             (dense partial
-                                                               irFFT: only
-                                                               the last C of
-                                                               the 2C output
-                                                               are needed)
+  per (b, dblk, c, fb):
+    acc(FB, 128)  = sum_{j<=c} expand(K[c, j, fb]) (.) V[c-j, fb]
+    o_c(C, 128)  += A[:, fb]_r @ Re(acc) + A[:, fb]_i @ Im(acc)
+
+  The banded sum is pointwise per frequency, and the partial irFFT
+  contracts frequencies linearly — so the f2 axis splits into VMEM-sized
+  blocks accumulated into the (VMEM-resident) output block across the
+  innermost grid steps.  This removes round 1's hard VMEM ceiling (seq
+  >= 4096 used to fall back to the ~30 ms jnp path): any (nc, f2) now
+  runs fused.  When f2 fits in one block (seq <= ~2048) the index maps
+  are fb-invariant and the spectra block stays RESIDENT across all nc
+  chunk steps — exactly the round-1 kernel, read-V-once behavior.
 
 A_r/A_i bake the irfft normalization, the 2x mid-bin weights, and the
 DC/Nyquist imaginary-drop convention, evaluated only at output positions
-C..2C-1 — so the "inverse FFT" is a single (C, F2) x (F2, 128) matmul pair.
+C..2C-1 — so the "inverse FFT" is a single (C, FB) x (FB, 128) matmul pair
+per frequency block.
 
 Differentiable via custom_vjp against the jnp banded composition (the op is
 bilinear in (V, K), so that VJP is the exact adjoint).
@@ -39,15 +41,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _DBLK = 128
+# Resident-block budget per spectra plane (empirical Mosaic compile ceiling
+# on v5e: ~2.1 MB blocks compile with double-buffering, ~4.2 MB do not).
+_VMEM_BLOCK = 3 * 1024 * 1024
 # Tests on CPU set this to run through the Pallas interpreter.
 INTERPRET = False
 
 
+def _fb_plan(nc: int, f2: int) -> Tuple[int, int]:
+    """(FB, nf): frequency-block rows per grid step and number of blocks."""
+    chunk = f2 - 1
+    pad8 = -(-f2 // 8) * 8
+    # V/K block: nc * FB * 128 lanes * 4 B * 2 planes; A block: C * FB * 8 B.
+    fb_v = _VMEM_BLOCK // (nc * _DBLK * 4 * 2)
+    fb_a = (2 * 1024 * 1024) // (max(chunk, 1) * 8)
+    fb_max = max(8, min(fb_v, fb_a) // 8 * 8)
+    if pad8 <= fb_max:
+        return pad8, 1
+    fb = fb_max
+    return fb, -(-f2 // fb)
+
+
 def banded_supported(nc: int, f2: int) -> bool:
-    """VMEM bound for the resident spectra block (nc, F2, 128) x re/im f32.
-    Empirical compile ceiling on v5e: 2.1 MB blocks compile, 4.2 MB do not
-    (Mosaic double-buffers; plus kernel-segment and output blocks)."""
-    return nc * f2 * _DBLK * 4 * 2 <= 3 * 1024 * 1024
+    """The f2-blocked kernel handles any frequency count; remaining bounds
+    are the output block (chunk rows of 128 lanes, VMEM-resident across the
+    f2 sweep) and a sanity cap on the banded width."""
+    chunk = f2 - 1
+    return chunk <= 8192 and nc <= 128
 
 
 @functools.lru_cache(maxsize=None)
@@ -68,12 +88,13 @@ def _inv_rows_np(chunk: int) -> Tuple[np.ndarray, np.ndarray]:
     return ar, ai
 
 
-def _make_kernel(nc: int, f2: int, chunk: int, cols: int, precision):
+def _make_kernel(nc: int, fb_rows: int, nf: int, chunk: int, cols: int,
+                 precision):
     def kernel(vfr_ref, vfi_ref, kfr_ref, kfi_ref, e_ref, ar_ref, ai_ref,
                o_ref):
         c = pl.program_id(2)
         e = e_ref[0]                                   # (cols, 128)
-        ar = ar_ref[:]                                 # (C, F2)
+        ar = ar_ref[:]                                 # (C, FB)
         ai = ai_ref[:]
 
         def mm(a, b):
@@ -81,24 +102,38 @@ def _make_kernel(nc: int, f2: int, chunk: int, cols: int, precision):
                 a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
 
+        # expand ALL kernel segments' compact columns to channel lanes in
+        # ONE tall matmul (per-j (FB, cols) expands strand the MXU)
+        kr_all = mm(kfr_ref[0, 0].reshape(nc * fb_rows, cols), e)
+        ki_all = mm(kfi_ref[0, 0].reshape(nc * fb_rows, cols), e)
+
         def body(jj, carry):
             accr, acci = carry
-            kr = kfr_ref[0, 0, pl.ds(jj, 1)][0]        # (F2, cols)
-            ki = kfi_ref[0, 0, pl.ds(jj, 1)][0]
+            gr = jax.lax.dynamic_slice_in_dim(kr_all, jj * fb_rows, fb_rows)
+            gi = jax.lax.dynamic_slice_in_dim(ki_all, jj * fb_rows, fb_rows)
             s = jnp.maximum(c - jj, 0)
-            vr = vfr_ref[0, pl.ds(s, 1)][0]            # (F2, 128)
+            vr = vfr_ref[0, pl.ds(s, 1)][0]            # (FB, 128)
             vi = vfi_ref[0, pl.ds(s, 1)][0]
-            gr = mm(kr, e)                             # expand cols -> lanes
-            gi = mm(ki, e)
             take = jnp.where(jj <= c, 1.0, 0.0)
             accr = accr + take * (gr * vr - gi * vi)
             acci = acci + take * (gr * vi + gi * vr)
             return accr, acci
 
-        zero = jnp.zeros((f2, _DBLK), jnp.float32)
+        zero = jnp.zeros((fb_rows, _DBLK), jnp.float32)
         accr, acci = jax.lax.fori_loop(0, nc, body, (zero, zero))
         y = mm(ar, accr) + mm(ai, acci)                # (C, 128)
-        o_ref[0, 0] = y.astype(o_ref.dtype)
+        if nf == 1:
+            o_ref[0, 0] = y.astype(o_ref.dtype)
+        else:
+            fb = pl.program_id(3)
+
+            @pl.when(fb == 0)
+            def _():
+                o_ref[0, 0] = y.astype(o_ref.dtype)
+
+            @pl.when(fb > 0)
+            def _():
+                o_ref[0, 0] = o_ref[0, 0] + y.astype(o_ref.dtype)
 
     return kernel
 
@@ -110,8 +145,21 @@ def _banded_inverse_call(vfr, vfi, kfr, kfi, *, chunk, fast=False,
     cols = kfr.shape[-1]
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
-    kernel = _make_kernel(nc, f2, chunk, cols, precision)
+    fb_rows, nf = _fb_plan(nc, f2)
+    kernel = _make_kernel(nc, fb_rows, nf, chunk, cols, precision)
     ar, ai = _inv_rows_np(chunk)
+
+    # zero-pad the frequency axis to nf * FB (zero rows contribute nothing;
+    # the A columns for padded rows are zero too)
+    fpad = nf * fb_rows
+    if fpad > f2:
+        pf = fpad - f2
+        vfr = jnp.pad(vfr, ((0, 0), (0, 0), (0, pf), (0, 0)))
+        vfi = jnp.pad(vfi, ((0, 0), (0, 0), (0, pf), (0, 0)))
+        kfr = jnp.pad(kfr, ((0, 0), (0, 0), (0, 0), (0, pf), (0, 0)))
+        kfi = jnp.pad(kfi, ((0, 0), (0, 0), (0, 0), (0, pf), (0, 0)))
+        ar = np.pad(ar, ((0, 0), (0, pf)))
+        ai = np.pad(ai, ((0, 0), (0, pf)))
 
     d_per_col = d // cols
     e = np.zeros((d // _DBLK, cols, _DBLK), np.float32)
@@ -119,33 +167,44 @@ def _banded_inverse_call(vfr, vfi, kfr, kfi, *, chunk, fast=False,
         for l in range(_DBLK):
             e[j, (j * _DBLK + l) // d_per_col, l] = 1.0
 
-    grid = (b, d // _DBLK, nc)          # chunk innermost: vf stays resident
+    # chunk axis before the f2-block axis: the output block (invariant in
+    # fb) accumulates in VMEM across the inner fb sweep; with nf == 1 the
+    # spectra blocks are grid-invariant past (b, dblk) and stay resident.
+    grid = (b, d // _DBLK, nc, nf)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct((b, nc, chunk, d), jnp.float32),
         in_specs=[
-            pl.BlockSpec((1, nc, f2, _DBLK), lambda i, j, c: (i, 0, 0, j),
+            pl.BlockSpec((1, nc, fb_rows, _DBLK),
+                         lambda i, j, c, fb: (i, 0, fb, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nc, f2, _DBLK), lambda i, j, c: (i, 0, 0, j),
+            pl.BlockSpec((1, nc, fb_rows, _DBLK),
+                         lambda i, j, c, fb: (i, 0, fb, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nc, f2, cols),
-                         lambda i, j, c: (i, c, 0, 0, 0),
+            pl.BlockSpec((1, 1, nc, fb_rows, cols),
+                         lambda i, j, c, fb: (i, c, 0, fb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nc, f2, cols),
-                         lambda i, j, c: (i, c, 0, 0, 0),
+            pl.BlockSpec((1, 1, nc, fb_rows, cols),
+                         lambda i, j, c, fb: (i, c, 0, fb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cols, _DBLK), lambda i, j, c: (j, 0, 0),
+            pl.BlockSpec((1, cols, _DBLK), lambda i, j, c, fb: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(ar.shape, lambda i, j, c: (0, 0),
+            pl.BlockSpec((chunk, fb_rows), lambda i, j, c, fb: (0, fb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(ai.shape, lambda i, j, c: (0, 0),
+            pl.BlockSpec((chunk, fb_rows), lambda i, j, c, fb: (0, fb),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, chunk, _DBLK),
-                               lambda i, j, c: (i, c, 0, j),
+                               lambda i, j, c, fb: (i, c, 0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        **kwargs,
     )(vfr, vfi, kfr, kfi, jnp.asarray(e), jnp.asarray(ar), jnp.asarray(ai))
     return out
 

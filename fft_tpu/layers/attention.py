@@ -47,20 +47,32 @@ def sliding_window_attention(
                                        jnp.pad(v, cfgpad), w)
         return out[:, :n]
     nb = n // w
-    scale = 1.0 / math.sqrt(hd)
-
     qb = q.reshape(b, nb, w, h, hd)
     kb = k.reshape(b, nb, w, h, hd)
     vb = v.reshape(b, nb, w, h, hd)
     # keys/values for block i: blocks i-1 and i (2W tokens)
-    k_prev = jnp.pad(kb[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
-    v_prev = jnp.pad(vb[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    k_halo = jnp.zeros_like(kb[:, 0])
+    v_halo = jnp.zeros_like(vb[:, 0])
+    out = _banded_block_attention(qb, kb, vb, k_halo, v_halo,
+                                  jnp.asarray(0, jnp.int32))
+    return out.reshape(b, n, h, hd)
+
+
+def _banded_block_attention(qb, kb, vb, k_halo, v_halo, gi0):
+    """Blockwise causal window attention over (B, nb, W, H, hd) blocks.
+    ``k_halo/v_halo`` (B, W, H, hd) is the block BEFORE qb's first block
+    (zeros at the true sequence start); ``gi0`` is the global index of the
+    first block, used to mask the nonexistent previous block at gi0 == 0."""
+    b, nb, w, h, hd = qb.shape
+    scale = 1.0 / math.sqrt(hd)
+    k_prev = jnp.concatenate([k_halo[:, None], kb[:, :-1]], axis=1)
+    v_prev = jnp.concatenate([v_halo[:, None], vb[:, :-1]], axis=1)
     k2 = jnp.concatenate([k_prev, kb], axis=2)            # (B, nb, 2W, H, hd)
     v2 = jnp.concatenate([v_prev, vb], axis=2)
 
     # mask: query position (in-block) i attends key position j of the 2W
-    # span iff 0 <= (i + W - j) < W  (causal, window length W), and block 0
-    # has no previous block.
+    # span iff 0 <= (i + W - j) < W  (causal, window length W), and global
+    # block 0 has no previous block.
     qi = jnp.arange(w)[:, None]
     kj = jnp.arange(2 * w)[None, :]
     dist = qi + w - kj
@@ -70,7 +82,7 @@ def sliding_window_attention(
         i, qc, kc, vc = args
         s = jnp.einsum("bqhd,bkhd->bhqk", qc, kc,
                        preferred_element_type=jnp.float32) * scale
-        valid = band & ~((i == 0) & (kj < w))
+        valid = band & ~((gi0 + i == 0) & (kj < w))
         s = jnp.where(valid[None, None], s, -jnp.inf)
         p = jax.nn.softmax(s, axis=-1).astype(vc.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", p, vc)
@@ -81,19 +93,67 @@ def sliding_window_attention(
     out = jax.lax.map(one_block,
                       (jnp.arange(nb), jnp.moveaxis(qb, 1, 0),
                        jnp.moveaxis(k2, 1, 0), jnp.moveaxis(v2, 1, 0)))
-    out = jnp.moveaxis(out, 0, 1)                          # (B, nb, W, H, hd)
-    return out.reshape(b, n, h, hd)
+    return jnp.moveaxis(out, 0, 1)                         # (B, nb, W, H, hd)
 
 
-def swa_apply(params, x: jnp.ndarray, num_heads: int, window: int
-              ) -> jnp.ndarray:
-    """(B, N, d) -> (B, N, d) causal sliding-window multi-head attention."""
+def sliding_window_attention_cp(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window: int,
+    mesh, seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """Context-parallel SWA (SURVEY:133, config 5): the sequence axis is
+    sharded over ``mesh[seq_axis]`` and each shard attends locally after a
+    SINGLE halo exchange — a ``ppermute`` shipping every shard's last
+    (W, H, hd) KV block to its right neighbor.  That is the entire
+    communication cost: one (B, W, d) hop per layer, riding ICI.
+
+    Requires the shard-local length to be a multiple of ``window``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    b, n, h, hd = q.shape
+    s = mesh.shape[seq_axis]
+    w = window
+    assert (n // s) % w == 0, (
+        f"shard-local length {n // s} must divide into windows of {w}")
+    nb_local = n // s // w
+
+    def local(q, k, v):
+        idx = jax.lax.axis_index(seq_axis)
+        bb = q.shape[0]
+        qb = q.reshape(bb, nb_local, w, h, hd)
+        kb = k.reshape(bb, nb_local, w, h, hd)
+        vb = v.reshape(bb, nb_local, w, h, hd)
+        # halo: my last block -> right neighbor (shard 0 receives zeros,
+        # which is exactly the sequence-start boundary condition)
+        perm = [(i, i + 1) for i in range(s - 1)]
+        k_halo = jax.lax.ppermute(kb[:, -1], seq_axis, perm)
+        v_halo = jax.lax.ppermute(vb[:, -1], seq_axis, perm)
+        out = _banded_block_attention(qb, kb, vb, k_halo, v_halo,
+                                      idx * nb_local)
+        return out.reshape(bb, nb_local * w, h, hd)
+
+    axes = dict(mesh.shape)
+    bspec = "data" if axes.get("data", 1) > 1 else None
+    hspec = "model" if axes.get("model", 1) > 1 else None
+    spec = P(bspec, seq_axis, hspec, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec)(q, k, v)
+
+
+def swa_apply(params, x: jnp.ndarray, num_heads: int, window: int,
+              cp_mesh=None, seq_axis: str = "seq") -> jnp.ndarray:
+    """(B, N, d) -> (B, N, d) causal sliding-window multi-head attention.
+    With ``cp_mesh``, runs context-parallel with halo exchange."""
     b, n, d = x.shape
     hd = d // num_heads
     q = linear_apply(params["w_q"], x).reshape(b, n, num_heads, hd)
     k = linear_apply(params["w_k"], x).reshape(b, n, num_heads, hd)
     v = linear_apply(params["w_v"], x).reshape(b, n, num_heads, hd)
-    out = sliding_window_attention(q, k, v, window).reshape(b, n, d)
+    if cp_mesh is not None:
+        out = sliding_window_attention_cp(q, k, v, window, cp_mesh,
+                                          seq_axis).reshape(b, n, d)
+    else:
+        out = sliding_window_attention(q, k, v, window).reshape(b, n, d)
     return linear_apply(params["w_o"], out)
 
 
@@ -114,11 +174,11 @@ def swa_block_init(key, embed_dim: int, num_heads: int, mlp_ratio: int = 4,
 
 
 def swa_block_apply(params, x: jnp.ndarray, num_heads: int, window: int,
-                    compute_dtype=None) -> jnp.ndarray:
+                    compute_dtype=None, cp_mesh=None) -> jnp.ndarray:
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     x = x + swa_apply(params["attn"], layernorm_apply(params["ln1"], x),
-                      num_heads, window)
+                      num_heads, window, cp_mesh=cp_mesh)
     h = layernorm_apply(params["ln2"], x)
     h = linear_apply(params["mlp"]["fc2"],
                      gelu_exact(linear_apply(params["mlp"]["fc1"], h)))

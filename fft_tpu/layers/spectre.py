@@ -225,13 +225,21 @@ def spectre_head_apply(
     dropout_rng=None,
     deterministic: bool = True,
     sp_mesh=None,                        # Mesh with a 'seq' axis -> SP mix
+    sp_layout: str = "contiguous",
 ):
     """Full-sequence forward (spectre.py:479-557).  Requires N <= n_fft.
     Returns (mixed (B, N, d), q_pool (B, d)).
 
     With ``sp_mesh`` the FFT->gate->iFFT runs as the distributed four-step
     over the mesh's 'seq' axis (requires N == n_fft); everything else
-    (projections, pooling) is GSPMD-sharded automatically."""
+    (projections, pooling) is GSPMD-sharded automatically.
+
+    ``sp_layout="strided"``: x is in the strided sequence layout
+    (parallel.dist_fft.sp_stride_permute) and the mix runs the optimal
+    2-all-to-all path.  Projections/LN/residuals are position-pointwise and
+    mean/attention pooling are order-invariant, so whole blocks chain in
+    this layout with no extra collectives (DCT pooling is order-sensitive
+    and rejected)."""
     n = x.shape[-2]
     assert n <= cfg.n_fft, f"sequence {n} exceeds n_fft {cfg.n_fft}"
 
@@ -250,9 +258,16 @@ def spectre_head_apply(
     gate_bc = jnp.repeat(jnp.swapaxes(gate, -1, -2), cfg.d_group, axis=-1)
 
     if sp_mesh is not None:
-        from fft_tpu.parallel.dist_fft import sp_spectral_mix
-        out = sp_spectral_mix(v, gate_bc, memory_fft,
-                              n_fft=cfg.n_fft, mesh=sp_mesh)
+        if sp_layout == "strided":
+            from fft_tpu.parallel.dist_fft import sp_spectral_mix_strided
+            assert cfg.pooling_type in ("mean", "attention"), (
+                "strided SP layout needs an order-invariant pooler")
+            out = sp_spectral_mix_strided(v, gate_bc, memory_fft,
+                                          n_fft=cfg.n_fft, mesh=sp_mesh)
+        else:
+            from fft_tpu.parallel.dist_fft import sp_spectral_mix
+            out = sp_spectral_mix(v, gate_bc, memory_fft,
+                                  n_fft=cfg.n_fft, mesh=sp_mesh)
     else:
         v_fft = fftops.rfft(v, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
         mixed = gate_bc * v_fft
@@ -352,6 +367,7 @@ def spectre_multihead_apply(
     rngs: Optional[dict] = None,
     deterministic: bool = True,
     sp_mesh=None,
+    sp_layout: str = "contiguous",
 ):
     b, n, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
@@ -475,7 +491,7 @@ def spectre_multihead_apply(
             return spectre_head_apply(
                 hp, hcfg, xi, pos_phase=pos_phase, memory_fft=mem,
                 dropout_rng=drng, deterministic=deterministic,
-                sp_mesh=sp_mesh)
+                sp_mesh=sp_mesh, sp_layout=sp_layout)
 
     mixed, q_pools = jax.vmap(run, in_axes=tuple(in_axes))(*args)
     mixed = jnp.moveaxis(mixed, 0, 2).reshape(b, n, d)       # concat heads
@@ -527,6 +543,7 @@ def spectre_block_apply(
     rngs: Optional[dict] = None,
     deterministic: bool = True,
     sp_mesh=None,
+    sp_layout: str = "contiguous",
 ):
     """Pre-LN residual block: x + mix(LN(x), memory) ; x + MLP(LN(x))
     (spectre.py:967-982).  Runs in cfg.compute_dtype (params stay fp32)."""
@@ -543,7 +560,7 @@ def spectre_block_apply(
     x = x + spectre_multihead_apply(
         params["mix"], cfg, layernorm_apply(params["ln1"], x),
         memory_fft=memory_fft, rngs=rngs, deterministic=deterministic,
-        sp_mesh=sp_mesh)
+        sp_mesh=sp_mesh, sp_layout=sp_layout)
     h = layernorm_apply(params["ln2"], x)
     h = linear_apply(params["mlp"]["fc2"],
                      gelu_exact(linear_apply(params["mlp"]["fc1"], h)))

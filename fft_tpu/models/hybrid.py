@@ -84,9 +84,14 @@ def hybrid_init(key, cfg: HybridConfig, dtype=jnp.float32):
 
 
 def _apply_group(group_params, cfg: HybridConfig, h: jnp.ndarray,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True, cp_mesh=None) -> jnp.ndarray:
     """One layer group: spectre_per_group SPECTRE blocks + one SWA block.
-    group_params: {'spectre': stacked (S, ...), 'attn': (...)}."""
+    group_params: {'spectre': stacked (S, ...), 'attn': (...)}.
+
+    Context parallelism (SURVEY:133): the causal SPECTRE blocks shard their
+    sequence axis through GSPMD (the segmented algorithm is shard-local up
+    to one all-gather of segment spectra); the SWA block uses the explicit
+    halo-exchange CP path when ``cp_mesh`` is given."""
     def sp_body(h, p):
         return spectre_block_apply(p, cfg.block, h,
                                    deterministic=deterministic), None
@@ -94,11 +99,13 @@ def _apply_group(group_params, cfg: HybridConfig, h: jnp.ndarray,
     h, _ = jax.lax.scan(sp_body, h, group_params["spectre"])
     return swa_block_apply(group_params["attn"], h, cfg.attn_heads,
                            cfg.attn_window,
-                           compute_dtype=cfg.block.compute_dtype)
+                           compute_dtype=cfg.block.compute_dtype,
+                           cp_mesh=cp_mesh)
 
 
 def hybrid_apply(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
-                 rngs: Optional[dict] = None, deterministic: bool = True):
+                 rngs: Optional[dict] = None, deterministic: bool = True,
+                 cp_mesh=None):
     """tokens (B, N) -> logits (B, N, vocab)."""
     n = tokens.shape[-1]
     h = (params["tok_emb"][tokens] + params["pos_emb"][:n]).astype(
@@ -107,7 +114,8 @@ def hybrid_apply(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
     def group(h, xs):
         sp_params, at_params = xs
         return _apply_group({"spectre": sp_params, "attn": at_params},
-                            cfg, h, deterministic=deterministic), None
+                            cfg, h, deterministic=deterministic,
+                            cp_mesh=cp_mesh), None
 
     h, _ = jax.lax.scan(group, h, (params["spectre"], params["attn"]))
     h = layernorm_apply(params["ln_f"], h)

@@ -92,6 +92,117 @@ def sp_plan(n: int, seq_shards: int) -> int:
     raise ValueError(f"no four-step plan for n={n}, shards={seq_shards}")
 
 
+def sp_plan_strided(n: int, seq_shards: int) -> int:
+    """N1 for the strided (2-all-to-all) layout: both transposes shard, so
+    the shard count must divide BOTH factors; prefer balanced factors."""
+    s = seq_shards
+    best = None
+    n1 = s
+    while n1 * s <= n:
+        if (n % n1 == 0 and (n // n1) % s == 0
+                and cfft_factors(n1) and cfft_factors(n // n1)):
+            if best is None or abs(math.log(n1 * n1 / n)) < abs(
+                    math.log(best * best / n)):
+                best = n1
+        n1 += s
+    if best is None:
+        raise ValueError(
+            f"no strided four-step plan for n={n}, shards={s} "
+            f"(needs s | N1 and s | N2)")
+    return best
+
+
+def sp_stride_permute(x: jnp.ndarray, n1: int, n2: int,
+                      inverse: bool = False, axis: int = -2) -> jnp.ndarray:
+    """Natural <-> strided sequence layout for the 2-all-to-all SP path.
+
+    Strided position p = b*n1 + a holds natural index t = a*n2 + b: a
+    contiguous shard of the strided layout owns one residue class of the
+    four-step's minor index b, which makes BOTH outer DFT stages shard-local
+    (see ``sp_spectral_mix_strided``).  Pure reshape+transpose; under a
+    sequence-sharded input GSPMD lowers it to one all-to-all.
+    """
+    axis = axis % x.ndim
+    lead, n, tail = x.shape[:axis], x.shape[axis], x.shape[axis + 1:]
+    assert n == n1 * n2, (n, n1, n2)
+    if inverse:
+        xr = x.reshape(*lead, n2, n1, *tail)
+        xr = jnp.swapaxes(xr, axis, axis + 1)
+    else:
+        xr = x.reshape(*lead, n1, n2, *tail)
+        xr = jnp.swapaxes(xr, axis, axis + 1)
+    return xr.reshape(*lead, n, *tail)
+
+
+def sp_spectral_mix_strided(
+    v: jnp.ndarray,                 # (B, N, d) real, STRIDED layout, 'seq'
+    gate_half: jnp.ndarray,         # (B, F_half, d) complex, replicated
+    memory_fft: Optional[jnp.ndarray],   # (F_half, d) complex or None
+    *,
+    n_fft: int,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """The OPTIMAL sequence-parallel mix: exactly 2 all-to-alls.
+
+    ``v`` arrives in the strided layout (``sp_stride_permute``): sharding
+    the strided positions contiguously shards the four-step's minor index
+    b, so stage 1 (DFT over the major index a) is already shard-local and
+    the inverse lands shard-local too.  Only the mid-transform transposes
+    (b-sharded <-> c-sharded) move data.  Output is strided again, so
+    layout-indifferent model ops (linears, LN, mean/attention pooling,
+    residuals) chain layers with NO extra collectives; only embedding and
+    loss need the one-time index remap.
+    """
+    b, n, d = v.shape
+    assert n == n_fft, "SP mix operates on the full window (N == n_fft)"
+    s = mesh.shape[seq_axis]
+    n1 = sp_plan_strided(n_fft, s)
+    n2 = n_fft // n1
+    f1 = tuple(cfft_factors(n1))
+    f2 = tuple(cfft_factors(n2))
+
+    def cst(x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    # Every stage output is PINNED to its shard-local sharding: with the
+    # transitions left to propagation, GSPMD's cost model degrades the two
+    # axis-swap reshards into all-gathers around the DFT einsums (verified
+    # on the 8-device mesh); pinned, the compiled module contains exactly
+    # 2 all-to-alls and 0 all-gathers (asserted in tests/test_dist_fft.py).
+    b_sh = P(None, seq_axis, None, None)
+    c_sh = P(None, None, seq_axis, None)
+
+    # layout (bb, a): zs[bb, a] = v_natural[a*n2 + bb]; shards own bb rows
+    z = v.astype(jnp.float32).reshape(b, n2, n1, d)
+    z = jax.lax.complex(z, jnp.zeros_like(z))
+    z = cst(z, b_sh)                                     # no-op: b-sharded
+    z = cst(_cfft(z, f1, sign=-1), b_sh)                 # DFT over a -> c
+    z = z * jnp.asarray(_twiddle2_np(n1, n2, -1)).T[None, :, :, None]
+    z = cst(z, b_sh)
+    z = cst(z, c_sh)                                     # a2a #1: c-sharded
+    z = cst(_cfft_axis1(z, f2, sign=-1), c_sh)           # DFT over bb -> kq
+    # spectrum S[kq, c] = X[c + n1*kq], sharded over c.
+
+    gate2 = _full_gate(jnp.moveaxis(gate_half, -2, -1), n_fft, n1)
+    gate2 = jnp.transpose(gate2, (0, 3, 2, 1))           # (B, kq, c, d)
+    gate2 = cst(gate2, c_sh)
+    z = z * gate2
+    if memory_fft is not None:
+        mem2 = _full_gate(jnp.moveaxis(memory_fft, -2, -1), n_fft, n1)
+        mem2 = jnp.transpose(mem2, (2, 1, 0))            # (kq, c, d)
+        z = z + cst(mem2[None], c_sh)
+
+    # inverse (mirror)
+    z = cst(_cfft_axis1(z, f2, sign=+1) / n2, c_sh)      # kq -> bb
+    z = z * jnp.asarray(_twiddle2_np(n1, n2, +1)).T[None, :, :, None]
+    z = cst(z, c_sh)
+    z = cst(z, b_sh)                                     # a2a #2: b-sharded
+    z = _cfft(z, f1, sign=+1) / n1                       # c -> a
+    y = jnp.real(z).reshape(b, n_fft, d)                 # strided layout
+    return cst(y, P(None, seq_axis, None))
+
+
 def sp_spectral_mix(
     v: jnp.ndarray,                 # (B, N, d) real, sequence-sharded 'seq'
     gate_half: jnp.ndarray,         # (B, F_half, d) complex, replicated
@@ -125,11 +236,15 @@ def sp_spectral_mix(
     z = v.astype(jnp.float32)
     z = z.reshape(b, n1, n2, d)                          # n = a*n2 + b
     z = jax.lax.complex(z, jnp.zeros_like(z))
+    z = cst(z, P(None, seq_axis, None, None))            # arrives a-sharded
     z = cst(z, P(None, None, seq_axis, None))            # a2a: b-sharded
-    z = _cfft_axis1(z, f1, sign=-1)                      # DFT over a -> c
+    z = cst(_cfft_axis1(z, f1, sign=-1),
+            P(None, None, seq_axis, None))               # DFT over a -> c
     z = z * jnp.asarray(_twiddle2_np(n1, n2, -1))[None, :, :, None]
+    z = cst(z, P(None, None, seq_axis, None))
     z = cst(z, P(None, seq_axis, None, None))            # a2a: c-sharded
-    z = _cfft_axis2(z, f2, sign=-1)                      # DFT over b -> kq
+    z = cst(_cfft_axis2(z, f2, sign=-1),
+            P(None, seq_axis, None, None))               # DFT over b -> kq
     # spectrum S[c, kq] = X[c + n1*kq], sharded over c.
 
     gate2 = _full_gate(jnp.moveaxis(gate_half, -2, -1), n_fft, n1)
@@ -142,10 +257,13 @@ def sp_spectral_mix(
         z = z + cst(mem2[None], P(None, seq_axis, None, None))
 
     # inverse (mirror)
-    z = _cfft_axis2(z, f2, sign=+1) / n2                 # kq -> b
+    z = cst(_cfft_axis2(z, f2, sign=+1) / n2,
+            P(None, seq_axis, None, None))               # kq -> b
     z = z * jnp.asarray(_twiddle2_np(n1, n2, +1))[None, :, :, None]
+    z = cst(z, P(None, seq_axis, None, None))
     z = cst(z, P(None, None, seq_axis, None))            # a2a: b-sharded
-    z = _cfft_axis1(z, f1, sign=+1) / n1                 # c -> a
+    z = cst(_cfft_axis1(z, f1, sign=+1) / n1,
+            P(None, None, seq_axis, None))               # c -> a
     y = jnp.real(z).reshape(b, n_fft, d)
     return cst(y, P(None, seq_axis, None))
 

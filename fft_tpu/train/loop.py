@@ -97,14 +97,36 @@ def lm_loss(params, model_cfg, tokens: jnp.ndarray, *,
 
 
 def hybrid_loss(params, model_cfg, tokens: jnp.ndarray, *,
-                rngs: Optional[dict] = None, deterministic: bool = False):
+                rngs: Optional[dict] = None, deterministic: bool = False,
+                cp_mesh=None):
     """Next-token cross entropy for the hybrid SPECTRE+SWA LM (config 5)."""
     from fft_tpu.models.hybrid import hybrid_apply
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
     logits = hybrid_apply(params, model_cfg, inputs, rngs=rngs,
-                          deterministic=deterministic)
+                          deterministic=deterministic, cp_mesh=cp_mesh)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
     return jnp.mean(losses)
+
+
+def hybrid_train_step(state: TrainState, batch: jnp.ndarray, *, model_cfg,
+                      optimizer, cp_mesh=None) -> tuple[TrainState, dict]:
+    """One optimizer step on a hybrid-LM batch (B, N+1); with ``cp_mesh``
+    the SWA layers run context-parallel (halo exchange) and the SPECTRE
+    layers sequence-shard through GSPMD."""
+    rng, step_rng = jax.random.split(jax.random.wrap_key_data(state.rng))
+    rng = jax.random.key_data(rng)
+
+    def loss_fn(p):
+        return hybrid_loss(p, model_cfg, batch, rngs={"dropout": step_rng},
+                           deterministic=True, cp_mesh=cp_mesh)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state,
+                                          state.params)
+    params = optax.apply_updates(state.params, updates)
+    gnorm = optax.global_norm(grads)
+    metrics = {"loss": loss, "grad_norm": gnorm, "step": state.step}
+    return TrainState(params, opt_state, state.step + 1, rng), metrics
 
 
 def classification_loss(params, model_cfg, images: jnp.ndarray,

@@ -132,3 +132,63 @@ def test_hybrid_decode_equals_forward():
         logits, caches = step(params, toks[:, i], i, caches)
         assert rel_err(np.asarray(logits),
                        np.asarray(fwd[:, i])) < 1e-4, i
+
+
+def test_swa_cp_matches_single_device():
+    """Context-parallel SWA (halo exchange over the 'seq' mesh axis) ==
+    the single-device blockwise result (SURVEY:133, config 5 CP row)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fft_tpu.layers.attention import sliding_window_attention_cp
+    from fft_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=1, seq=4, model=1)
+    b, n, h, hd, w = 2, 64, 2, 8, 8
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, hd)),
+                           dtype=jnp.float32) for _ in range(3))
+    ref = np.asarray(sliding_window_attention(q, k, v, w))
+
+    @jax.jit
+    def run(q, k, v):
+        sh = NamedSharding(mesh, P(None, "seq", None, None))
+        q, k, v = (jax.lax.with_sharding_constraint(t, sh) for t in (q, k, v))
+        return sliding_window_attention_cp(q, k, v, w, mesh)
+
+    got = np.asarray(run(q, k, v))
+    assert rel_err(got, ref) < 1e-6
+
+
+def test_hybrid_cp_train_step_matches_single_device():
+    """One hybrid train step with the sequence axis sharded over 4 devices
+    (SWA halo-exchange CP + GSPMD-sharded segmented SPECTRE) == the
+    single-device step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fft_tpu.parallel import make_mesh
+    from fft_tpu.train import TrainConfig, hybrid_train_step, train_init
+
+    seq, window = 64, 16
+    cfg = HybridConfig(
+        vocab_size=32, num_groups=2, spectre_per_group=1,
+        block=SpectreConfig(embed_dim=32, num_heads=4, n_fft=seq,
+                            pooling_type="mean", wavelet_on_rate=0.0,
+                            causal=True, causal_chunk=16,
+                            causal_impl="segmented", fft_impl="matmul"),
+        attn_heads=4, attn_window=window, max_seq=seq)
+    params = hybrid_init(jax.random.key(0), cfg)
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_steps=2, total_steps=10)
+    state, opt = train_init(jax.random.key(1), params, tcfg)
+    batch = jax.random.randint(jax.random.key(2), (2, seq + 1), 0, 32)
+
+    ref_state, ref_metrics = jax.jit(
+        lambda s, b: hybrid_train_step(s, b, model_cfg=cfg, optimizer=opt)
+    )(state, batch)
+
+    mesh = make_mesh(data=1, seq=4, model=1)
+    got_state, got_metrics = jax.jit(
+        lambda s, b: hybrid_train_step(s, b, model_cfg=cfg, optimizer=opt,
+                                       cp_mesh=mesh))(state, batch)
+
+    assert abs(float(ref_metrics["loss"]) - float(got_metrics["loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(got_state.params)):
+        assert rel_err(np.asarray(b), np.asarray(a)) < 1e-4

@@ -44,6 +44,25 @@ def test_banded_inverse_matches_ref():
     assert rel_err(np.asarray(got), np.asarray(ref)) < 1e-5
 
 
+def test_banded_inverse_blocked_f2_matches_ref():
+    """Shapes past the single-block VMEM bound: exercises the nf > 1
+    frequency-blocked accumulation path (round-2 extension)."""
+    rng = np.random.default_rng(1)
+    b, nc, chunk, d, cols = 1, 8, 512, 128, 8
+    f2 = chunk + 1
+    fb, nf = pc._fb_plan(nc, f2)
+    assert nf > 1, (fb, nf)          # must actually hit the blocked path
+    vfr = jnp.asarray(rng.standard_normal((b, nc, f2, d)).astype(np.float32))
+    vfi = jnp.asarray(rng.standard_normal((b, nc, f2, d)).astype(np.float32))
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, nc, f2, cols)).astype(np.float32))
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, nc, f2, cols)).astype(np.float32))
+    got = pc.banded_inverse(vfr, vfi, kfr, kfi, chunk, False, True)
+    ref = pc._banded_inverse_ref(vfr, vfi, kfr, kfi, chunk)
+    assert rel_err(np.asarray(got), np.asarray(ref)) < 1e-5
+
+
 def test_causal_multihead_pallas_matches_matmul():
     params = spectre_multihead_init(jax.random.key(0), _cfg("matmul"))
     x = jax.random.normal(jax.random.key(1), (2, 64, 128))
