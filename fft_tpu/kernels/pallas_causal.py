@@ -41,9 +41,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _DBLK = 128
-# Resident-block budget per spectra plane (empirical Mosaic compile ceiling
-# on v5e: ~2.1 MB blocks compile with double-buffering, ~4.2 MB do not).
-_VMEM_BLOCK = 3 * 1024 * 1024
+# Resident-block budget per spectra plane.  The default XLA scoped-vmem
+# limit is 16 MB, but the v5e physically has 128 MB and accepts
+# vmem_limit_bytes raises (probed: 64 MB scratch + 64 MB operand compile
+# and run) — both pallas_calls below pass _VMEM_LIMIT explicitly.
+_VMEM_BLOCK = 16 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 # Tests on CPU set this to run through the Pallas interpreter.
 INTERPRET = False
 
@@ -58,7 +61,9 @@ def _fb_plan(nc: int, f2: int) -> Tuple[int, int]:
     fb_max = max(8, min(fb_v, fb_a) // 8 * 8)
     if pad8 <= fb_max:
         return pad8, 1
-    fb = fb_max
+    # blocked sweep: FB is then the LAST dim of the A blocks, which Mosaic
+    # requires to be a multiple of 128 (a full-width block is exempt above)
+    fb = max(128, fb_max // 128 * 128)
     return fb, -(-f2 // fb)
 
 
@@ -91,7 +96,7 @@ def _inv_rows_np(chunk: int) -> Tuple[np.ndarray, np.ndarray]:
 def _make_kernel(nc: int, fb_rows: int, nf: int, chunk: int, cols: int,
                  precision):
     def kernel(vfr_ref, vfi_ref, kfr_ref, kfi_ref, e_ref, ar_ref, ai_ref,
-               o_ref):
+               o_ref, kr_scr, ki_scr):
         c = pl.program_id(2)
         e = e_ref[0]                                   # (cols, 128)
         ar = ar_ref[:]                                 # (C, FB)
@@ -103,14 +108,16 @@ def _make_kernel(nc: int, fb_rows: int, nf: int, chunk: int, cols: int,
                 preferred_element_type=jnp.float32, precision=precision)
 
         # expand ALL kernel segments' compact columns to channel lanes in
-        # ONE tall matmul (per-j (FB, cols) expands strand the MXU)
-        kr_all = mm(kfr_ref[0, 0].reshape(nc * fb_rows, cols), e)
-        ki_all = mm(kfi_ref[0, 0].reshape(nc * fb_rows, cols), e)
+        # ONE tall matmul (per-j (FB, cols) expands strand the MXU), staged
+        # into VMEM scratch so the banded loop can pl.ds-slice a REF
+        # (Mosaic has no dynamic_slice on values)
+        kr_scr[:] = mm(kfr_ref[0, 0].reshape(nc * fb_rows, cols), e)
+        ki_scr[:] = mm(kfi_ref[0, 0].reshape(nc * fb_rows, cols), e)
 
         def body(jj, carry):
             accr, acci = carry
-            gr = jax.lax.dynamic_slice_in_dim(kr_all, jj * fb_rows, fb_rows)
-            gi = jax.lax.dynamic_slice_in_dim(ki_all, jj * fb_rows, fb_rows)
+            gr = kr_scr[pl.ds(jj * fb_rows, fb_rows)]
+            gi = ki_scr[pl.ds(jj * fb_rows, fb_rows)]
             s = jnp.maximum(c - jj, 0)
             vr = vfr_ref[0, pl.ds(s, 1)][0]            # (FB, 128)
             vi = vfi_ref[0, pl.ds(s, 1)][0]
@@ -175,7 +182,8 @@ def _banded_inverse_call(vfr, vfi, kfr, kfi, *, chunk, fast=False,
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary"))
+                                 "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -203,6 +211,10 @@ def _banded_inverse_call(vfr, vfi, kfr, kfi, *, chunk, fast=False,
         out_specs=pl.BlockSpec((1, 1, chunk, _DBLK),
                                lambda i, j, c, fb: (i, c, 0, j),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nc * fb_rows, _DBLK), jnp.float32),
+            pltpu.VMEM((nc * fb_rows, _DBLK), jnp.float32),
+        ],
         interpret=interpret,
         **kwargs,
     )(vfr, vfi, kfr, kfi, jnp.asarray(e), jnp.asarray(ar), jnp.asarray(ai))
