@@ -96,13 +96,13 @@ def _flash_causal_attention(q, k, v):
     return out.astype(q.dtype)
 
 
-def attn_block_apply(p, x):
+def attn_block_apply(p, x, impl="auto"):
     b, n, d = x.shape
     h = layernorm_apply(p["ln1"], x)
     q = linear_apply(p["w_q"], h).reshape(b, n, HEADS, d // HEADS)
     k = linear_apply(p["w_k"], h).reshape(b, n, HEADS, d // HEADS)
     v = linear_apply(p["w_v"], h).reshape(b, n, HEADS, d // HEADS)
-    if n <= 4096:
+    if impl == "xla" or (impl == "auto" and n <= 4096):
         o = jax.nn.dot_product_attention(q, k, v, is_causal=True)
     else:
         o = _flash_causal_attention(q, k, v)
@@ -160,16 +160,28 @@ def main():
         batch = max(1, args.tokens // seq)
         x = jax.random.normal(jax.random.key(1), (batch, seq, D),
                               jnp.bfloat16)
+        from fft_tpu.layers.causal_seg import preferred_causal_chunk
         cfg = SpectreConfig(embed_dim=D, num_heads=HEADS, n_fft=seq,
                             pooling_type="mean", wavelet_on_rate=0.0,
-                            causal=True, causal_chunk=max(128, seq // 16),
+                            causal=True,
+                            causal_chunk=preferred_causal_chunk(seq, D),
                             compute_dtype="bfloat16")
         sp_params = spectre_block_init(jax.random.key(2), cfg)
 
         t_spectre = slope_time(
             lambda p, h: spectre_block_apply(p, cfg, h), sp_params, x,
             args.bwd)
-        t_attn = slope_time(attn_block_apply, attn_params, x, args.bwd)
+        # strongest-baseline policy: time BOTH attention implementations
+        # (XLA fused <=4k where dense scores fit; blockwise online-softmax
+        # everywhere) and score SPECTRE against the better one.
+        t_attn = slope_time(
+            lambda p, h: attn_block_apply(p, h, "flash"), attn_params, x,
+            args.bwd)
+        if seq <= 4096:
+            t_xla = slope_time(
+                lambda p, h: attn_block_apply(p, h, "xla"), attn_params, x,
+                args.bwd)
+            t_attn = min(t_attn, t_xla)
         toks = batch * seq
         print(json.dumps({
             "seq": seq, "batch": batch, "mode": "fwd+bwd" if args.bwd else "fwd",

@@ -33,7 +33,19 @@ import jax.numpy as jnp
 import numpy as np
 
 _MAX_RADIX = 128
-_PRECISION = jax.lax.Precision.HIGHEST  # fp32-accurate MXU passes
+_PRECISION = jax.lax.Precision.HIGHEST  # fp32-accurate MXU passes (default)
+
+
+def precision_for(compute_dtype) -> jax.lax.Precision:
+    """MXU pass policy for the DFT matmuls given a model compute dtype.
+
+    bfloat16 models run single-pass bf16 matmuls (~3e-3 rel on a length-8k
+    transform chain, inside the bf16 activation budget and 6x fewer MXU
+    passes); anything else keeps the fp32-accurate 6-pass HIGHEST.
+    """
+    return (jax.lax.Precision.DEFAULT
+            if jnp.dtype(compute_dtype) == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
 
 
 def _prime_factors(n: int) -> Optional[List[int]]:
@@ -125,19 +137,20 @@ def _half_phasor(n: int, sign: int) -> jnp.ndarray:
     return jnp.asarray(_half_phasor_np(n, sign))
 
 
-def _cfft(x: jnp.ndarray, factors: Tuple[int, ...], sign: int) -> jnp.ndarray:
+def _cfft(x: jnp.ndarray, factors: Tuple[int, ...], sign: int,
+          precision=_PRECISION) -> jnp.ndarray:
     """Complex DFT along axis -2 of ``x (..., n, d)``; n = prod(factors)."""
     if len(factors) == 1:
         w = _dft_matrix(factors[0], sign)
-        return jnp.einsum("ka,...ad->...kd", w, x, precision=_PRECISION)
+        return jnp.einsum("ka,...ad->...kd", w, x, precision=precision)
     p, rest = factors[0], factors[1:]
     q = math.prod(rest)
     d = x.shape[-1]
     xr = x.reshape(*x.shape[:-2], p, q, d)
     y = jnp.einsum("ca,...aqd->...cqd", _dft_matrix(p, sign), xr,
-                   precision=_PRECISION)
+                   precision=precision)
     y = y * _twiddle(p, q, sign)[:, :, None]
-    w = _cfft(y, rest, sign)                      # transform along the q axis
+    w = _cfft(y, rest, sign, precision)           # transform along the q axis
     # Output index k = c + p * kq  ->  kq-major layout.
     w = jnp.swapaxes(w, -3, -2)
     return w.reshape(*x.shape[:-2], p * q, d)
@@ -158,7 +171,8 @@ def _move_to_penultimate(x: jnp.ndarray, axis: int):
     return x, axis, squeeze
 
 
-def rfft_matmul(x: jnp.ndarray, n: int, axis: int = -2) -> jnp.ndarray:
+def rfft_matmul(x: jnp.ndarray, n: int, axis: int = -2,
+                precision=_PRECISION) -> jnp.ndarray:
     """rFFT of real ``x`` along ``axis``, padded/truncated to length n.
     Returns complex64 of length n//2 + 1 along ``axis``."""
     factors = plan_factors(n)
@@ -175,7 +189,7 @@ def rfft_matmul(x: jnp.ndarray, n: int, axis: int = -2) -> jnp.ndarray:
     x = x.astype(jnp.float32)
     n2 = n // 2
     z = jax.lax.complex(x[..., 0::2, :], x[..., 1::2, :])    # (..., n2, d)
-    zf = _cfft(z, factors, sign=-1)
+    zf = _cfft(z, factors, sign=-1, precision=precision)
     # Hermitian untangle: Ze = FFT(even), Zo = FFT(odd).
     z_ext = jnp.concatenate([zf, zf[..., :1, :]], axis=-2)   # Z[k], k=0..n2
     z_rev = jnp.concatenate(
@@ -191,7 +205,8 @@ def rfft_matmul(x: jnp.ndarray, n: int, axis: int = -2) -> jnp.ndarray:
     return out
 
 
-def irfft_matmul(xh: jnp.ndarray, n: int, axis: int = -2) -> jnp.ndarray:
+def irfft_matmul(xh: jnp.ndarray, n: int, axis: int = -2,
+                 precision=_PRECISION) -> jnp.ndarray:
     """Inverse rFFT: ``xh (..., n//2+1, ...)`` complex -> real length-n."""
     factors = plan_factors(n)
     assert factors is not None, f"unsupported irfft size {n}"
@@ -209,7 +224,7 @@ def irfft_matmul(xh: jnp.ndarray, n: int, axis: int = -2) -> jnp.ndarray:
     zo = 0.5 * _half_phasor(n, +1)[:, None] * (xh - x_rev)
     z_spec = (ze + 1j * zo)[..., :-1, :]                      # Z[k], k=0..n2-1
     n2 = n // 2
-    z = _cfft(z_spec, factors, sign=+1) / n2                  # inverse cFFT
+    z = _cfft(z_spec, factors, sign=+1, precision=precision) / n2
     out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-2)      # (..., n2, 2, d)
     out = out.reshape(*z.shape[:-2], n, z.shape[-1])
     if squeeze is not False:

@@ -46,7 +46,7 @@ _DBLK = 128
 # vmem_limit_bytes raises (probed: 64 MB scratch + 64 MB operand compile
 # and run) — both pallas_calls below pass _VMEM_LIMIT explicitly.
 _VMEM_BLOCK = 16 * 1024 * 1024
-_VMEM_LIMIT = 100 * 1024 * 1024
+_VMEM_LIMIT = 116 * 1024 * 1024
 # Tests on CPU set this to run through the Pallas interpreter.
 INTERPRET = False
 
@@ -221,9 +221,12 @@ def _banded_inverse_call(vfr, vfi, kfr, kfi, *, chunk, fast=False,
     return out
 
 
-def _banded_inverse_ref(vfr, vfi, kfr, kfi, chunk):
+def _banded_inverse_ref(vfr, vfi, kfr, kfi, chunk,
+                        precision=jax.lax.Precision.HIGHEST):
     """jnp reference of the same banded sum + partial irfft (for the VJP
-    and correctness tests)."""
+    and correctness tests).  ``precision`` must default to HIGHEST: an
+    unqualified einsum runs ONE bf16 pass on TPU, which would silently
+    degrade both exact-mode comparisons and the custom-VJP gradients."""
     b, nc, f2, d = vfr.shape
     cols = kfr.shape[-1]
     d_g = d // cols
@@ -242,8 +245,10 @@ def _banded_inverse_ref(vfr, vfi, kfr, kfi, chunk):
     ar, ai = _inv_rows_np(chunk)
     accr = accr.reshape(b, nc, f2, d)
     acci = acci.reshape(b, nc, f2, d)
-    return (jnp.einsum("tf,bcfd->bctd", jnp.asarray(ar), accr)
-            + jnp.einsum("tf,bcfd->bctd", jnp.asarray(ai), acci))
+    return (jnp.einsum("tf,bcfd->bctd", jnp.asarray(ar), accr,
+                       precision=precision)
+            + jnp.einsum("tf,bcfd->bctd", jnp.asarray(ai), acci,
+                         precision=precision))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -271,3 +276,326 @@ def _bi_bwd(chunk, fast, interpret, res, ybar):
 
 
 banded_inverse.defvjp(_bi_fwd, _bi_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: whole causal mix fused — segment rFFTs + banded sum + partial irFFT
+# in ONE kernel that reads raw values once (replaces spectre.py:506-551's
+# per-chunk torch.fft round trips AND round 1's separate 5 ms matmul-FFT
+# segment-spectra pass).
+#
+#   grid = (batch, d/128, delta), delta (= segment lag) innermost:
+#     delta == 0   : FFT all nc segments of the resident v slab into VMEM
+#                    scratch (stage order + a Nyquist row per segment)
+#     every delta  : acc[c] += sel_c(K[delta]) (.) V[c - delta]
+#                    (ONE static-shift slab multiply-add over all chunks —
+#                    no per-chunk masking, no dynamic gathers)
+#     delta == nc-1: y[c] = A_r @ acc_r[c] + A_i @ acc_i[c]  (partial irFFT
+#                    evaluated only at output rows C..2C-1), written once.
+#
+# K arrives in the PRODUCER's layout (B, j, F2, nc_c*cols) — exactly what
+# the lane-folded kernel-segment FFT pipeline emits — so no host-side
+# (j, F2, c) -> (c, j, F2) relayout exists at all (measured ~5 ms of XLA
+# transpose+pad at seq 8k).  Per banded term the kernel selects chunk c's
+# column group and expands it to channel lanes with two small one-hot
+# matmuls (P then E) — ~0.3 ms of extra MXU work at seq 8k, fully
+# overlapped.
+#
+# V spectra live in a (2*nc*f2p, 128) scratch with a zero region below
+# segment 0, so the causal shift is a single dynamic-offset slab read.
+# ---------------------------------------------------------------------------
+
+
+def _pad8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def fused_mix_supported(nc: int, chunk: int, d: int) -> bool:
+    """VMEM-budget + plan predicate for the v2 fused causal kernel."""
+    from fft_tpu.kernels.pallas_fft import _mix_factors
+    if d % _DBLK or chunk % 8 or not 128 <= chunk <= 2048 or not nc >= 1:
+        return False
+    return (nc <= 64 and _mix_factors(2 * chunk) is not None
+            and _fused_vmem_ok(nc, chunk, _DBLK, 2))
+
+
+def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
+                   itemsize: int = 4) -> bool:
+    """Models the Mosaic VMEM layout exactly enough to predict compile OOM
+    (verified against the compiler's own report on v5e): every operator
+    window gets TWO buffering levels, lane dims pad to 128, the hardware
+    has 128 MB; leave headroom for constants/spills."""
+    f2p = _pad8(chunk + 1)
+    n = nc * chunk
+    ncg = nc * 32                                # lane count (cols <= 32)
+    vin = (n + chunk) * dblk * itemsize * 2      # v window, double-buffered
+    out = n * dblk * itemsize * 2                # y window
+    kblk = f2p * max(ncg, 128) * 4 * 2 * 2       # K slab planes per delta
+    psel = nc * ncg * max(32, 128) * 4           # P selector (resident)
+    vscr = 2 * nc * f2p * dblk * 4 * 2           # V spectra scratch (f32)
+    acc = nc * f2p * dblk * 4 * 2                # accumulators
+    amat = chunk * f2p * 4 * 2 * 2               # A_r/A_i windows
+    total = vin + out + kblk + psel + vscr + acc + amat
+    return total < 110 * 1024 * 1024
+
+
+def _pick_dblk(nc: int, chunk: int, d: int, itemsize: int = 4) -> int:
+    """Widest channel block that fits the VMEM budget.  Wider blocks mean
+    fewer grid programs, one K expansion per (b, delta) instead of one per
+    channel block, and contiguous HBM reads of v."""
+    for dblk in (512, 256, 128):
+        if d % dblk == 0 and dblk <= d and _fused_vmem_ok(nc, chunk, dblk,
+                                                          itemsize):
+            return dblk
+    return _DBLK
+
+
+def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
+                       dblk: int):
+    import fft_tpu.kernels.pallas_fft as pf
+    cst = pf._consts(2 * chunk)
+    n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
+    assert n2 == chunk
+    f2p = _pad8(n2 + 1)
+    ncg = nc * cols
+
+    def kernel(v_ref, kr_ref, ki_ref, p_ref, e_ref, ar_ref, ai_ref,
+               w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+               afr_ref, afi_ref, bfr_ref, bfi_ref,
+               o_ref, vr_scr, vi_scr, accr, acci):
+        delta = pl.program_id(2)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        @pl.when(delta == 0)
+        def _():
+            zero = jnp.zeros((2 * nc * f2p, dblk), jnp.float32)
+            vr_scr[:] = zero
+            vi_scr[:] = zero
+            accr[:] = jnp.zeros((nc * f2p, dblk), jnp.float32)
+            acci[:] = jnp.zeros((nc * f2p, dblk), jnp.float32)
+            w1r, w1i = w1r_ref[:], w1i_ref[:]
+            twr, twi = twr_ref[:], twi_ref[:]
+            w2r, w2i = w2r_ref[:], w2i_ref[:]
+            afr, afi = afr_ref[:], afi_ref[:]
+            bfr, bfi = bfr_ref[:], bfi_ref[:]
+
+            def seg_body(s, carry):
+                seg = v_ref[0, pl.ds(s * chunk, 2 * chunk)].astype(
+                    jnp.float32)                     # (2C, 128)
+                zs = seg.reshape(n2, 2 * dblk)       # [z_re | z_im] lanes
+                fsr, fsi = pf.staged_dft(zs, None, w1r, w1i, twr, twi,
+                                         w2r, w2i, f1, f2d, precision)
+                frr, fir = fsr[:, :dblk], fsr[:, dblk:]
+                fri, fii = fsi[:, :dblk], fsi[:, dblk:]
+                pr = frr - fii
+                pi = fri + fir
+                zcr = frr + fii
+                zci = fri - fir
+                xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+                xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+                x_nyq = jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
+                                keepdims=True)
+                base = (nc + s) * f2p
+                vr_scr[pl.ds(base, n2)] = xr
+                vi_scr[pl.ds(base, n2)] = xi
+                vr_scr[pl.ds(base + n2, 1)] = x_nyq
+                return carry
+
+            jax.lax.fori_loop(0, nc, seg_body, 0)
+
+        # banded accumulation, streamed per destination chunk: bounds the
+        # live set to ~6 (f2p, dblk) values (a whole-slab version spilled
+        # ~45 MB of registers), and starts at c = delta — terms with
+        # c < delta hit the zero region and are skipped outright.
+        e = e_ref[0]                                  # (cols, dblk) one-hot
+        # this delta's K slab in producer layout, F2 rows padded to f2p
+        kslab_r = jnp.pad(kr_ref[0, 0], ((0, f2p - n2 - 1), (0, 0)))
+        kslab_i = jnp.pad(ki_ref[0, 0], ((0, f2p - n2 - 1), (0, 0)))
+
+        def delta_body(c, carry):
+            pc = p_ref[pl.ds(c * ncg, ncg)]           # (ncG, cols) one-hot
+            gr = mm(mm(kslab_r, pc), e)               # (f2p, dblk)
+            gi = mm(mm(kslab_i, pc), e)
+            voff = (nc + c - delta) * f2p
+            vr = vr_scr[pl.ds(voff, f2p)]
+            vi = vi_scr[pl.ds(voff, f2p)]
+            aoff = c * f2p
+            accr[pl.ds(aoff, f2p)] = accr[pl.ds(aoff, f2p)] + (
+                gr * vr - gi * vi)
+            acci[pl.ds(aoff, f2p)] = acci[pl.ds(aoff, f2p)] + (
+                gr * vi + gi * vr)
+            return carry
+
+        jax.lax.fori_loop(delta, nc, delta_body, 0)
+
+        @pl.when(delta == nc - 1)
+        def _():
+            ar = ar_ref[:]                            # (C, f2p)
+            ai = ai_ref[:]
+
+            # fori (not unrolled): a static unroll at nc=16 spilled ~47 MB
+            # of registers and blew the 128 MB VMEM budget
+            def out_body(c, carry):
+                y = (mm(ar, accr[pl.ds(c * f2p, f2p)])
+                     + mm(ai, acci[pl.ds(c * f2p, f2p)]))
+                o_ref[0, pl.ds(c * chunk, chunk)] = y.astype(o_ref.dtype)
+                return carry
+
+            jax.lax.fori_loop(0, nc, out_body, 0)
+
+    return kernel, f2p
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "cols", "fast", "interpret"))
+def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
+                       interpret=False):
+    import fft_tpu.kernels.pallas_fft as pf
+    b, n, d = v.shape
+    nc = n // chunk
+    ncg = nc * cols
+    assert kfr.shape == (b, nc, chunk + 1, ncg), (kfr.shape, b, nc, chunk)
+    precision = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
+    dblk = _pick_dblk(nc, chunk, d, v.dtype.itemsize)
+    kernel, f2p = _make_fused_kernel(nc, chunk, cols, precision, dblk)
+    cst = pf._consts(2 * chunk)
+    n2 = cst["n2"]
+    # The staged DFT's k = c + f1*kq output order IS natural order (row
+    # r = kq*f1 + c carries bin c + f1*kq = r) — asserted here so a future
+    # plan change can't silently break row alignment.  Kernel row layout is
+    # therefore: bins 0..n2-1, the Nyquist bin, zero padding to f2p
+    # (K slabs are padded to f2p rows inside the kernel).
+    assert np.array_equal(cst["perm"], np.arange(n2)), "non-natural DFT order"
+
+    # partial-irFFT rows, zero columns over the padding
+    ar_n, ai_n = _inv_rows_np(chunk)                  # (C, n2+1) natural
+    ar_p = np.zeros((chunk, f2p), np.float32)
+    ai_p = np.zeros((chunk, f2p), np.float32)
+    ar_p[:, :n2 + 1] = ar_n
+    ai_p[:, :n2 + 1] = ai_n
+
+    # P[c]: one-hot (ncG, cols) picking chunk c's column group out of the
+    # producer's lane order l = c*cols + g; stacked along sublanes so the
+    # banded loop can pl.ds-slice it per chunk.
+    p_sel = np.zeros((nc * ncg, cols), np.float32)
+    for c in range(nc):
+        for g in range(cols):
+            p_sel[c * ncg + c * cols + g, g] = 1.0
+
+    d_per_col = d // cols
+    e = np.zeros((d // dblk, cols, dblk), np.float32)
+    for j in range(d // dblk):
+        for l in range(dblk):
+            e[j, (j * dblk + l) // d_per_col, l] = 1.0
+
+    v_pad = jnp.pad(v, ((0, 0), (chunk, 0), (0, 0)))  # segment -1 = zeros
+
+    const_specs = []
+    const_args = []
+    for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                 "afr", "afi", "bfr", "bfi"):
+        arr = np.asarray(cst[name], np.float32)
+        const_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, dl, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        const_args.append(jnp.asarray(arr))
+
+    grid = (b, d // dblk, nc)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), v.dtype),
+        in_specs=[
+            pl.BlockSpec((1, n + chunk, dblk), lambda i, j, dl: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk + 1, ncg),
+                         lambda i, j, dl: (i, dl, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk + 1, ncg),
+                         lambda i, j, dl: (i, dl, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc * ncg, cols), lambda i, j, dl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols, dblk), lambda i, j, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, f2p), lambda i, j, dl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, f2p), lambda i, j, dl: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs,
+        out_specs=pl.BlockSpec((1, n, dblk), lambda i, j, dl: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((2 * nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(v_pad, kfr, kfi, jnp.asarray(p_sel), jnp.asarray(e),
+      jnp.asarray(ar_p), jnp.asarray(ai_p), *const_args)
+    return out
+
+
+def _fused_causal_ref(v, kfr, kfi, chunk, cols,
+                      precision=jax.lax.Precision.HIGHEST):
+    """jnp reference: segment rFFTs + banded sum + partial irFFT (for the
+    VJP and correctness tests).  Matches fused_causal_mix exactly;
+    kfr/kfi arrive in the producer layout (B, j, F2, nc_c*cols)."""
+    from fft_tpu.kernels.matfft import rfft_matmul
+    b, n, d = v.shape
+    nc = n // chunk
+    f2 = chunk + 1
+    vs = v.astype(jnp.float32).reshape(b, nc, chunk, d)
+    v_prev = jnp.pad(vs[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    seg = jnp.concatenate([v_prev, vs], axis=2)            # (B, nc, 2C, d)
+    vf = rfft_matmul(seg, 2 * chunk, axis=-2, precision=precision)
+    # producer layout -> (B, nc_c, nc_j, F2, cols) for the banded ref
+    kr = jnp.transpose(kfr.reshape(b, nc, f2, nc, cols), (0, 3, 1, 2, 4))
+    ki = jnp.transpose(kfi.reshape(b, nc, f2, nc, cols), (0, 3, 1, 2, 4))
+    y = _banded_inverse_ref(jnp.real(vf), jnp.imag(vf), kr, ki, chunk,
+                            precision)
+    return y.reshape(b, n, d).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_causal_mix(v, kfr, kfi, chunk: int, cols: int,
+                     fast: bool = False, interpret: bool = False):
+    """y (B, N, d) = segmented causal mix of raw values v against per-chunk
+    kernel-segment spectra kfr/kfi in the lane-folded PRODUCER layout
+    (B, nc_j, F2, nc_c*cols), F2 = C + 1 — lane l = c*cols + g.
+
+    The whole pipeline (segment rFFTs, banded causal sum, chunk-column
+    selection, partial irFFT) runs in one Pallas kernel; v is read from
+    HBM exactly once and no host-side K relayout exists."""
+    return _fused_causal_call(v, kfr, kfi, chunk=chunk, cols=cols,
+                              fast=fast, interpret=interpret)
+
+
+def _fc_fwd(v, kfr, kfi, chunk, cols, fast, interpret):
+    return fused_causal_mix(v, kfr, kfi, chunk, cols, fast, interpret), (
+        v, kfr, kfi)
+
+
+def _fc_bwd(chunk, cols, fast, interpret, res, ybar):
+    v, kfr, kfi = res
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    _, vjp = jax.vjp(
+        lambda a, b, c: _fused_causal_ref(a, b, c, chunk, cols, prec),
+        v, kfr, kfi)
+    return vjp(ybar)
+
+
+fused_causal_mix.defvjp(_fc_fwd, _fc_bwd)

@@ -72,7 +72,10 @@ def _mix_factors(n_fft: int):
 
 
 def pallas_mix_supported(n_fft: int) -> bool:
-    return _mix_factors(n_fft) is not None and n_fft <= 2048
+    """n_fft <= 8192 fits the 128 MB VMEM with the raised scoped limit
+    (the round-1 2048 bound was an artifact of XLA's default 16 MB limit);
+    16k+ would need a streamed two-pass design — falls back to matmul."""
+    return _mix_factors(n_fft) is not None and n_fft <= 8192
 
 
 @functools.lru_cache(maxsize=None)
@@ -139,6 +142,47 @@ def _consts(n_fft: int) -> Tuple:
     )
 
 
+def staged_dft(xr, xi, w1r, w1i, twr, twi, w2r, w2i, f1, f2, precision):
+    """Two-stage complex DFT along sublanes of (n2, d); output in
+    k = c + f1*kq ('stage') order.  ``xi=None`` marks real input
+    (skips the zero matmuls).  Stage 1 is the dense (f1=128)-wide MXU
+    contraction; stage 2 contracts the small remainder factor.  Shared by
+    the fused-mix and fused-causal kernels (runs inside Pallas)."""
+    n2 = f1 * f2
+    d = xr.shape[-1]
+    xr2 = xr.reshape(f1, f2 * d)
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+
+    if xi is None:
+        yr = mm(w1r, xr2)
+        yi = mm(w1i, xr2)
+    else:
+        xi2 = xi.reshape(f1, f2 * d)
+        yr = mm(w1r, xr2) - mm(w1i, xi2)
+        yi = mm(w1r, xi2) + mm(w1i, xr2)
+    if f2 == 1:
+        return yr.reshape(n2, d), yi.reshape(n2, d)
+    yr = yr.reshape(f1, f2, d)
+    yi = yi.reshape(f1, f2, d)
+    tr = twr[:, :, None]
+    ti = twi[:, :, None]
+    ur = yr * tr - yi * ti
+    ui = yr * ti + yi * tr
+
+    def mm3(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+
+    vr = mm3(w2r, ur) - mm3(w2i, ui)               # (f2, f1, d)
+    vi = mm3(w2r, ui) + mm3(w2i, ur)
+    return vr.reshape(n2, d), vi.reshape(n2, d)
+
+
 def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC,
                  dblk: int = _DBLK):
     cst = _consts(n_fft)
@@ -146,42 +190,8 @@ def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC,
     b0r, b0i = cst["b0"].real, cst["b0"].imag
 
     def dft_stages(xr, xi, w1r, w1i, twr, twi, w2r, w2i):
-        """Two-stage complex DFT along sublanes of (n2, d); output in
-        k = c + f1*kq ('stage') order.  ``xi=None`` marks real input
-        (skips the zero matmuls).  Stage 1 is the dense (f1=128)-wide MXU
-        contraction; stage 2 contracts the small remainder factor."""
-        d = xr.shape[-1]
-        xr2 = xr.reshape(f1, f2 * d)
-
-        def mm(a, b):
-            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32,
-                                       precision=precision)
-
-        if xi is None:
-            yr = mm(w1r, xr2)
-            yi = mm(w1i, xr2)
-        else:
-            xi2 = xi.reshape(f1, f2 * d)
-            yr = mm(w1r, xr2) - mm(w1i, xi2)
-            yi = mm(w1r, xi2) + mm(w1i, xr2)
-        if f2 == 1:
-            return yr.reshape(n2, d), yi.reshape(n2, d)
-        yr = yr.reshape(f1, f2, d)
-        yi = yi.reshape(f1, f2, d)
-        tr = twr[:, :, None]
-        ti = twi[:, :, None]
-        ur = yr * tr - yi * ti
-        ui = yr * ti + yi * tr
-
-        def mm3(a, b):
-            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32,
-                                       precision=precision)
-
-        vr = mm3(w2r, ur) - mm3(w2i, ui)               # (f2, f1, d)
-        vi = mm3(w2r, ui) + mm3(w2i, ur)
-        return vr.reshape(n2, d), vi.reshape(n2, d)
+        return staged_dft(xr, xi, w1r, w1i, twr, twi, w2r, w2i,
+                          f1, f2, precision)
 
     def kernel(*refs):
         if with_memory:
@@ -224,9 +234,12 @@ def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC,
         # repeats; the MXU does this for free).
         e_mat = e_ref[0]                               # (HG, 128) one-hot
         def expand(g):
+            # precision matters even for a one-hot matmul: DEFAULT runs a
+            # single bf16 pass that truncates the f32 gate (caught by the
+            # real-chip smoke test at 1.6e-3 rel in exact mode)
             return jax.lax.dot_general(
                 g, e_mat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=precision)
         g_r = expand(gr_ref[0])
         g_i = expand(gi_ref[0])
         mr = g_r * xr - g_i * xi
@@ -320,9 +333,14 @@ def _fused_mix_call(v, g_r, g_i, g_nyq, mem_r, mem_i, mem_nyq, *, n_fft,
 
     kwargs = {}
     if not interpret:
-        # no cross-step state: let Mosaic schedule grid steps freely
+        # no cross-step state: let Mosaic schedule grid steps freely.
+        # vmem_limit_bytes: the chip has 128 MB; XLA's default scoped
+        # limit (16 MB) rejects n_fft > 2048 (~10 live (n2, 2*dblk) f32
+        # stage buffers) — raised limit probed/verified on v5e.
+        from fft_tpu.kernels.pallas_causal import _VMEM_LIMIT
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"))
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -31,6 +31,22 @@ from fft_tpu.config import SpectreHeadConfig
 from fft_tpu.ops import fftops
 
 
+def preferred_causal_chunk(seq: int, d: int) -> int:
+    """Fastest measured chunk size for the causal block on v5e.
+
+    seq/8 when the fused whole-mix kernel covers it — fewer banded terms
+    and bigger in-kernel FFT tiles (measured: 12.3 -> 7.5 ms at seq 8k,
+    9.6 -> 7.4 ms at 2k); otherwise the larger of seq/8, seq/16 that the
+    kernel covers; otherwise seq/16 for the v1 banded path, whose cost
+    grows with nc^2 at small chunks (32k: chunk 1024 = 59.5 ms vs
+    chunk 2048 = 32.0 ms)."""
+    from fft_tpu.kernels.pallas_causal import fused_mix_supported
+    for c in (seq // 8, seq // 16):
+        if c >= 128 and seq % c == 0 and fused_mix_supported(seq // c, c, d):
+            return c
+    return max(128, seq // 16)
+
+
 def segmented_causal_mix(
     v: jnp.ndarray,           # (B, N, d) values, N divisible by chunk
     gate: jnp.ndarray,        # (B, nc, G, F_half) per-chunk gates
@@ -47,30 +63,56 @@ def segmented_causal_mix(
     c2 = 2 * chunk
     f2 = c2 // 2 + 1
     impl = cfg.fft_impl if cfg.fft_impl != "pallas" else "matmul"
-
-    # --- segment spectra: V_s = rfft_2C([v_{s-1} | v_s]) ------------------
-    vs = v.astype(jnp.float32).reshape(b, nc, chunk, d)
-    v_prev = jnp.pad(vs[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
-    seg = jnp.concatenate([v_prev, vs], axis=2)            # (B, nc, 2C, d)
-    vf = fftops.rfft(seg, c2, axis=-2, impl=impl)          # (B, nc, F2, d)
+    from fft_tpu.kernels.matfft import precision_for
+    prec = precision_for(cfg.compute_dtype)
 
     # --- kernel segments ---------------------------------------------------
-    k_time = fftops.irfft(gate, cfg.n_fft, axis=-1, impl=impl)
-    k_time = k_time[..., :n]                               # window <= N here
-    k_segs = k_time.reshape(b, nc, g_groups, nc, chunk)    # (B,c,G,j,C)
-    kf = fftops.rfft(k_segs, c2, axis=-1, impl=impl)       # (B,c,G,j,F2)
+    # Both FFTs run with (nc * G) lane columns — the per-chunk kernels ride
+    # the LANE axis together, so the length-N irfft and the 2C rffts hit
+    # full 128-lane tiles instead of G(=32)-wide ones.  Only the small gate
+    # transpose up front touches data sideways; the fused kernel consumes
+    # this producer layout directly (lane l = c*G + g), so the nc^2-sized
+    # spectra are never relayouted.  (Measured at seq 8k: 21.2 ms for the
+    # per-(b, c) G-lane pipeline -> 5.8 ms lane-folded; the avoided
+    # (j, F2, c) -> (c, j, F2) XLA transpose+pad cost a further ~3-8 ms.)
+    g_l = jnp.transpose(gate, (0, 3, 1, 2)).reshape(
+        b, gate.shape[-1], nc * g_groups)                  # (B, F, c*G)
+    k_time = fftops.irfft(g_l, cfg.n_fft, axis=-2, impl=impl,
+                          precision=prec)                  # (B, N, c*G)
+    k_seg = k_time[:, :n].reshape(b, nc, chunk, nc * g_groups)
+    kf_l = fftops.rfft(k_seg, c2, axis=-2, impl=impl,
+                       precision=prec)                     # (B, j, F2, c*G)
 
-    # --- fused Pallas path: banded sum + partial irfft in one VMEM pass ---
+    # --- fused Pallas paths ------------------------------------------------
     from fft_tpu.kernels import pallas_causal as pc
     import jax as _jax
     use_pallas = (cfg.fft_impl == "pallas"
                   or (cfg.fft_impl == "auto"
                       and _jax.default_backend() != "cpu"))
+    fast = cfg.compute_dtype == "bfloat16"
+    if use_pallas and pc.fused_mix_supported(nc, chunk, d):
+        # v2: segment rFFTs + banded sum + partial irFFT in ONE kernel that
+        # reads raw values once (no HBM segment-spectra round trip at all)
+        y = pc.fused_causal_mix(v, jnp.real(kf_l), jnp.imag(kf_l),
+                                chunk, g_groups, fast, pc.INTERPRET)
+        return y.astype(v.dtype)
+
+    # fallback paths consume the chunk-major (B, c, j, F2, G) layout
+    kf = jnp.transpose(kf_l.reshape(b, nc, f2, nc, g_groups),
+                       (0, 3, 1, 2, 4))                    # (B,c,j,F2,G)
+
+    # --- segment spectra: V_s = rfft_2C([v_{s-1} | v_s]) ------------------
+    vs = v.astype(jnp.float32).reshape(b, nc, chunk, d)
+    v_prev = jnp.pad(vs[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    seg = jnp.concatenate([v_prev, vs], axis=2)            # (B, nc, 2C, d)
+    vf = fftops.rfft(seg, c2, axis=-2, impl=impl, precision=prec)          # (B, nc, F2, d)
+
     if use_pallas and d % 128 == 0 and pc.banded_supported(nc, f2):
-        kfc = jnp.transpose(kf, (0, 1, 3, 4, 2))       # (B, c, j, F2, G)
+        # v1: banded sum + partial irfft fused (spectra still via HBM);
+        # covers chunk sizes past the v2 VMEM budget
         y = pc.banded_inverse(
-            jnp.real(vf), jnp.imag(vf), jnp.real(kfc), jnp.imag(kfc),
-            chunk, cfg.compute_dtype == "bfloat16", pc.INTERPRET)
+            jnp.real(vf), jnp.imag(vf), jnp.real(kf), jnp.imag(kf),
+            chunk, fast, pc.INTERPRET)
         return y.reshape(b, n, d).astype(v.dtype)
 
     # --- banded causal sum: Y_c = sum_j K_c^(j) (.) V_{c-j} ---------------
@@ -81,14 +123,14 @@ def segmented_causal_mix(
     # sequence-sharded axis miscompiles under GSPMD; shifted full-width
     # elementwise ops shard cleanly)
     vf_grp = vf.reshape(b, nc, f2, g_groups, d_g)
-    kf_c = jnp.moveaxis(kf, 3, 1)                          # (b, j, c, G, f2)
     y_spec = jnp.zeros((b, nc, f2, g_groups, d_g), vf.dtype)
     for j in range(nc):
-        kj = jnp.moveaxis(kf_c[:, j], -2, -1)[..., None]   # (b, c, f2, G, 1)
+        kj = kf[:, :, j][..., None]                        # (b, c, f2, G, 1)
         vj = jnp.pad(vf_grp,
                      ((0, 0), (j, 0), (0, 0), (0, 0), (0, 0)))[:, :nc]
         y_spec = y_spec + kj * vj                          # V_{c-j}, 0 if c<j
     y_spec = y_spec.reshape(b, nc, f2, d)
 
-    y = fftops.irfft(y_spec, c2, axis=-2, impl=impl)[:, :, chunk:, :]
+    y = fftops.irfft(y_spec, c2, axis=-2, impl=impl,
+                     precision=prec)[:, :, chunk:, :]
     return y.reshape(b, n, d).astype(v.dtype)

@@ -182,17 +182,22 @@ def spectre_head_apply_causal(
     else:
         # per-chunk linear convolution via 2N-point FFTs
         n2 = 2 * cfg.n_fft
-        k_time = fftops.irfft(gate, cfg.n_fft, axis=-1, impl=cfg.fft_impl)
-        gate2 = fftops.rfft(k_time, n2, axis=-1, impl=cfg.fft_impl)
+        from fft_tpu.kernels.matfft import precision_for
+        prec = precision_for(cfg.compute_dtype)
+        k_time = fftops.irfft(gate, cfg.n_fft, axis=-1, impl=cfg.fft_impl,
+                              precision=prec)
+        gate2 = fftops.rfft(k_time, n2, axis=-1, impl=cfg.fft_impl,
+                            precision=prec)
         gate2 = jnp.repeat(jnp.moveaxis(gate2, -2, -1)[..., None],
                            cfg.d_group, axis=-1)             # (B,nc,F2,1*d_g)
         gate2 = gate2.reshape(b, n_chunks, n2 // 2 + 1, d)
 
-        vf = fftops.rfft(v, n2, axis=-2, impl=cfg.fft_impl)  # (B, F2, d)
+        vf = fftops.rfft(v, n2, axis=-2, impl=cfg.fft_impl,
+                         precision=prec)                     # (B, F2, d)
 
         def chunk_out(c):
             y = fftops.irfft(gate2[:, c] * vf, n2, axis=-2,
-                             impl=cfg.fft_impl)
+                             impl=cfg.fft_impl, precision=prec)
             return jax.lax.dynamic_slice_in_dim(
                 y, c * causal_chunk, causal_chunk, axis=-2)
 
@@ -269,11 +274,15 @@ def spectre_head_apply(
             out = sp_spectral_mix(v, gate_bc, memory_fft,
                                   n_fft=cfg.n_fft, mesh=sp_mesh)
     else:
-        v_fft = fftops.rfft(v, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
+        from fft_tpu.kernels.matfft import precision_for
+        prec = precision_for(cfg.compute_dtype)
+        v_fft = fftops.rfft(v, cfg.n_fft, axis=-2, impl=cfg.fft_impl,
+                            precision=prec)
         mixed = gate_bc * v_fft
         if memory_fft is not None:
             mixed = mixed + memory_fft
-        v_time = fftops.irfft(mixed, cfg.n_fft, axis=-2, impl=cfg.fft_impl)
+        v_time = fftops.irfft(mixed, cfg.n_fft, axis=-2, impl=cfg.fft_impl,
+                              precision=prec)
         out = v_time[..., :n, :]
     out = out.astype(x.dtype)
 

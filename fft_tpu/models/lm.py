@@ -21,6 +21,7 @@ from fft_tpu.decode import (
     PrefixFFTCache, cache_init, spectre_block_decode_step,
 )
 from fft_tpu.layers import spectre_block_apply, spectre_block_init
+from fft_tpu.layers.causal_seg import preferred_causal_chunk as _preferred_chunk
 from fft_tpu.layers.common import layernorm_apply, layernorm_init
 
 
@@ -65,12 +66,13 @@ def spectre_350m_config(vocab_size: int = 50432, seq: int = 16384) -> LMConfig:
         num_layers=24,
         max_seq=seq,
         remat=True,
-        # chunk = seq/16 keeps the segmented causal working set (which
-        # scales with nc^2 * chunk = nc * seq) inside one chip's HBM at 16k
+        # preferred_causal_chunk: seq/8 where the fused causal kernel
+        # covers it, else seq/16 (keeps the segmented working set — which
+        # scales with nc^2 * chunk = nc * seq — inside one chip's HBM)
         block=SpectreConfig(
             embed_dim=1024, num_heads=16, n_fft=seq, pooling_type="mean",
             wavelet_on_rate=0.0, causal=True,
-            causal_chunk=max(512, seq // 16),
+            causal_chunk=max(512, _preferred_chunk(seq, 1024)),
             memory_size=0),
     )
 

@@ -42,19 +42,31 @@ def _resolve(impl: str, n: int) -> str:
     return impl
 
 
-def rfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto") -> jnp.ndarray:
-    """rFFT of real ``x`` along ``axis``, zero-padded/truncated to length n."""
+def rfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto",
+         precision=None) -> jnp.ndarray:
+    """rFFT of real ``x`` along ``axis``, zero-padded/truncated to length n.
+
+    ``precision`` (matmul impl only): MXU pass policy for the DFT stages;
+    None = fp32-accurate HIGHEST.  Layers pass
+    ``matfft.precision_for(cfg.compute_dtype)`` so bf16 models run
+    single-pass bf16 DFT matmuls.
+    """
     impl = _resolve(impl, n)
     if impl == "matmul":
-        from fft_tpu.kernels.matfft import rfft_matmul
-        return rfft_matmul(x, n, axis=axis)
+        from fft_tpu.kernels.matfft import _PRECISION, rfft_matmul
+        return rfft_matmul(x, n, axis=axis,
+                           precision=_PRECISION if precision is None
+                           else precision)
     return jnp.fft.rfft(x.astype(jnp.float32), n=n, axis=axis)
 
 
-def irfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto") -> jnp.ndarray:
+def irfft(x: jnp.ndarray, n: int, axis: int = -2, impl: str = "auto",
+          precision=None) -> jnp.ndarray:
     """Inverse rFFT to real length-n output along ``axis``."""
     impl = _resolve(impl, n)
     if impl == "matmul":
-        from fft_tpu.kernels.matfft import irfft_matmul
-        return irfft_matmul(x, n, axis=axis)
+        from fft_tpu.kernels.matfft import _PRECISION, irfft_matmul
+        return irfft_matmul(x, n, axis=axis,
+                            precision=_PRECISION if precision is None
+                            else precision)
     return jnp.fft.irfft(x, n=n, axis=axis)

@@ -70,10 +70,11 @@ def test_pallas_causal_train_step_runs():
 
 
 def test_pallas_unsupported_nfft_falls_back():
-    """Non-causal fused path with n_fft outside the kernel bound: silently
-    uses the unfused matmul composition (was an AssertionError)."""
+    """Non-causal fused path with n_fft outside the kernel bound (now
+    n_fft > 8192): silently uses the unfused matmul composition (was an
+    AssertionError)."""
     mk = lambda impl: SpectreConfig(
-        embed_dim=128, num_heads=4, n_fft=4096, pooling_type="mean",
+        embed_dim=128, num_heads=4, n_fft=16384, pooling_type="mean",
         wavelet_on_rate=0.0, fft_impl=impl)
     cfg_p, cfg_m = mk("pallas"), mk("matmul")
     params = spectre_block_init(jax.random.key(0), cfg_p)

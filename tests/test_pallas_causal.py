@@ -82,3 +82,53 @@ def test_causal_pallas_grads():
     gb = jax.grad(lambda p: loss(p, "pallas"))(params)
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         assert rel_err(np.asarray(b), np.asarray(a)) < 1e-4
+
+
+def test_fused_causal_v2_matches_ref():
+    """v2 whole-mix kernel (segment rFFTs in-kernel) vs the jnp pipeline;
+    K in the lane-folded producer layout (B, j, F2, c*cols)."""
+    rng = np.random.default_rng(3)
+    b, nc, chunk, d, cols = 2, 4, 128, 256, 8
+    assert pc.fused_mix_supported(nc, chunk, d)
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    got = pc.fused_causal_mix(v, kfr, kfi, chunk, cols, False, True)
+    ref = pc._fused_causal_ref(v, kfr, kfi, chunk, cols)
+    assert rel_err(np.asarray(got), np.asarray(ref)) < 1e-5
+
+
+def test_fused_causal_v2_grads():
+    rng = np.random.default_rng(4)
+    b, nc, chunk, d, cols = 1, 3, 128, 128, 4
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+
+    def loss(fn):
+        return lambda v, kr, ki: jnp.sum(fn(v, kr, ki) ** 2)
+
+    ga = jax.grad(loss(lambda v, kr, ki: pc.fused_causal_mix(
+        v, kr, ki, chunk, cols, False, True)), argnums=(0, 1, 2))(v, kfr, kfi)
+    gb = jax.grad(loss(lambda v, kr, ki: pc._fused_causal_ref(
+        v, kr, ki, chunk, cols)), argnums=(0, 1, 2))(v, kfr, kfi)
+    for a, b_ in zip(ga, gb):
+        assert rel_err(np.asarray(a), np.asarray(b_)) < 1e-4
+
+
+def test_causal_multihead_pallas_v2_matches_matmul():
+    """Layer-level dispatch into the v2 kernel (chunk >= 128)."""
+    def cfg(impl):
+        return SpectreConfig(embed_dim=128, num_heads=2, n_fft=512,
+                             pooling_type="mean", wavelet_on_rate=0.0,
+                             causal=True, causal_chunk=128,
+                             causal_impl="segmented", fft_impl=impl)
+    params = spectre_multihead_init(jax.random.key(5), cfg("matmul"))
+    x = jax.random.normal(jax.random.key(6), (1, 512, 128))
+    ref = np.asarray(spectre_multihead_apply(params, cfg("matmul"), x))
+    got = np.asarray(spectre_multihead_apply(params, cfg("pallas"), x))
+    assert rel_err(got, ref) < 1e-5

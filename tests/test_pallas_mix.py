@@ -73,5 +73,7 @@ def test_pallas_block_and_grads_match_jnp():
 def test_pallas_support_predicate():
     assert pf.pallas_mix_supported(1024)
     assert pf.pallas_mix_supported(2048)
-    assert not pf.pallas_mix_supported(4096)      # VMEM bound (falls back)
+    assert pf.pallas_mix_supported(4096)          # raised VMEM scoped limit
+    assert pf.pallas_mix_supported(8192)
+    assert not pf.pallas_mix_supported(16384)     # VMEM bound (falls back)
     assert not pf.pallas_mix_supported(63)        # odd

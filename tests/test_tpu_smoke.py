@@ -1,0 +1,98 @@
+"""Real-backend kernel smoke tests (suite of record for chip behavior).
+
+These compile and run the fused Pallas kernels on the live (non-CPU)
+backend and check numerics against the matmul-FFT composition.  They are
+SKIPPED on CPU — the interpreter-mode tests cover semantics there — and
+exist because interpreter-green kernels have shipped with chip-only
+lowering bugs twice (dynamic_slice on values, FB%128 block rule).
+Run: PYTHONPATH=.:/root/.axon_site python -m pytest tests/test_tpu_smoke.py
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() in ("cpu",),
+    reason="needs the real TPU backend")
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12))
+
+
+@requires_tpu
+def test_fused_mix_chip():
+    from fft_tpu.kernels.pallas_fft import _unfused_mix, fused_spectral_mix
+    b, n, d, hg = 4, 1024, 512, 32
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g_r = jnp.asarray(rng.standard_normal((b, n // 2 + 1, hg)), jnp.float32)
+    g_i = jnp.asarray(rng.standard_normal((b, n // 2 + 1, hg)), jnp.float32)
+
+    @jax.jit
+    def run(v, g_r, g_i):
+        g = jax.lax.complex(g_r, g_i)
+        return (fused_spectral_mix(v, g, None, n_fft=n, interpret=False),
+                _unfused_mix(v, g, None, n))
+
+    y, ref = run(v, g_r, g_i)
+    assert _rel(y, ref) < 1e-5
+
+
+@requires_tpu
+def test_fused_causal_v2_chip():
+    from fft_tpu.kernels import pallas_causal as pc
+    b, nc, chunk, d, cols = 2, 8, 256, 512, 32
+    assert pc.fused_mix_supported(nc, chunk, d)
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    y = pc.fused_causal_mix(v, kfr, kfi, chunk, cols, False, False)
+    ref = jax.jit(pc._fused_causal_ref,
+                  static_argnums=(3, 4))(v, kfr, kfi, chunk, cols)
+    assert _rel(y, ref) < 1e-5
+
+
+@requires_tpu
+def test_banded_inverse_v1_chip():
+    from fft_tpu.kernels import pallas_causal as pc
+    b, nc, chunk, d, cols = 1, 8, 2048, 256, 32
+    f2 = chunk + 1
+    rng = np.random.default_rng(2)
+    vfr = jnp.asarray(rng.standard_normal((b, nc, f2, d)), jnp.float32)
+    vfi = jnp.asarray(rng.standard_normal((b, nc, f2, d)), jnp.float32)
+    kfr = jnp.asarray(rng.standard_normal((b, nc, nc, f2, cols)), jnp.float32)
+    kfi = jnp.asarray(rng.standard_normal((b, nc, nc, f2, cols)), jnp.float32)
+    y = pc.banded_inverse(vfr, vfi, kfr, kfi, chunk, False, False)
+    ref = jax.jit(pc._banded_inverse_ref, static_argnums=4)(
+        vfr, vfi, kfr, kfi, chunk)
+    assert _rel(y, ref) < 1e-4
+
+
+@requires_tpu
+def test_causal_block_pallas_chip():
+    """bench-config causal block end-to-end on chip: pallas vs matmul."""
+    from fft_tpu.config import SpectreConfig
+    from fft_tpu.layers import spectre_block_apply, spectre_block_init
+
+    def cfg(impl):
+        return SpectreConfig(embed_dim=512, num_heads=8, n_fft=2048,
+                             pooling_type="mean", wavelet_on_rate=0.0,
+                             causal=True, causal_chunk=256,
+                             causal_impl="segmented", fft_impl=impl,
+                             compute_dtype="bfloat16")
+
+    params = spectre_block_init(jax.random.key(0), cfg("matmul"))
+    x = jax.random.normal(jax.random.key(1), (2, 2048, 512), jnp.bfloat16)
+    ref = np.asarray(jax.jit(
+        lambda p, x: spectre_block_apply(p, cfg("matmul"), x))(params, x))
+    got = np.asarray(jax.jit(
+        lambda p, x: spectre_block_apply(p, cfg("pallas"), x))(params, x))
+    assert _rel(got, ref) < 5e-2     # bf16 fast path vs bf16 matmul path
