@@ -27,7 +27,7 @@ from fft_tpu.kernels.pallas_fft import (
 HBM_GBPS = 819.0  # TPU v5e
 
 
-def slope_time(fn, args, k_lo=4, k_hi=16):
+def slope_time(fn, args, k_lo=8, k_hi=72):
     """Device ms per fn application via the two-depth chain slope."""
     v = args[0]
 

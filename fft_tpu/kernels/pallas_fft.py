@@ -183,6 +183,157 @@ def staged_dft(xr, xi, w1r, w1i, twr, twi, w2r, w2i, f1, f2, precision):
     return vr.reshape(n2, d), vi.reshape(n2, d)
 
 
+# ---------------------------------------------------------------------------
+# Direct-matrix kernel (n_fft <= 2048, incl. the flagship 1024): the rFFT is
+# ONE (F_half, N) @ (N, dblk) matmul pair and the irFFT ONE (N, F_half) @
+# (F_half, dblk) pair, with every per-frequency constant (normalization, 2x
+# mid-bin weights, the DC/Nyquist imaginary-drop, the (-1)^t Nyquist row)
+# folded into the matrices.  The staged split-radix kernel spends ~50 VPU
+# elementwise passes on packing/untangle/twiddle arithmetic — at N=1024
+# that VPU time, not HBM, bounds it to ~27% of roofline.  Here the VPU does
+# only the gate multiply; everything else is dense MXU work (~270 MFLOP per
+# (batch, 128-lane) program at N=1024).  Both kernels compute the same
+# linear map; tests compare them to the matmul-FFT composition.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _direct_consts(n_fft: int):
+    """(Mr, Mi, Ar, Ai) numpy f32: X = (Mr + i Mi) @ v is the rFFT along
+    rows; y = Ar @ Re(M) + Ai @ Im(M) is the irFFT with torch-compatible
+    DC/Nyquist conventions (spectre.py:551) folded into the A columns."""
+    f_half = n_fft // 2 + 1
+    t = np.arange(n_fft)
+    k = np.arange(f_half)
+    ang = -2.0 * np.pi * np.outer(k, t) / n_fft
+    mr = np.cos(ang).astype(np.float32)               # (F, N)
+    mi = np.sin(ang).astype(np.float32)
+    coef = np.full(f_half, 2.0)
+    coef[0] = 1.0
+    coef[-1] = 1.0
+    ang2 = 2.0 * np.pi * np.outer(t, k) / n_fft
+    ar = (coef * np.cos(ang2) / n_fft).astype(np.float32)   # (N, F)
+    ai = (-coef * np.sin(ang2) / n_fft).astype(np.float32)
+    ai[:, 0] = 0.0                                     # drop Im at DC
+    ai[:, -1] = 0.0                                    # ... and Nyquist
+    return mr, mi, ar, ai
+
+
+def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
+    def kernel(*refs):
+        if with_memory:
+            (v_ref, gr_ref, gi_ref, e_ref, mr_ref, mi_ref,
+             dmr_ref, dmi_ref, ar_ref, ai_ref) = refs[:-1]
+        else:
+            (v_ref, gr_ref, gi_ref, e_ref,
+             dmr_ref, dmi_ref, ar_ref, ai_ref) = refs[:-1]
+        o_ref = refs[-1]
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        v = v_ref[0].astype(jnp.float32)               # (N, dblk)
+        xr = mm(dmr_ref[:], v)                         # (F, dblk)
+        xi = mm(dmi_ref[:], v)
+
+        e_mat = e_ref[0]                               # (HG, dblk) one-hot
+
+        def expand(g):
+            return jax.lax.dot_general(
+                g, e_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        g_r = expand(gr_ref[0])
+        g_i = expand(gi_ref[0])
+        mxr = g_r * xr - g_i * xi
+        mxi = g_r * xi + g_i * xr
+        if with_memory:
+            mxr = mxr + mr_ref[:]
+            mxi = mxi + mi_ref[:]
+        y = mm(ar_ref[:], mxr) + mm(ai_ref[:], mxi)    # (N, dblk)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "interpret", "fast", "dblk"))
+def _direct_mix_call(v, g_r, g_i, mem_r, mem_i, *, n_fft, interpret=False,
+                     fast=False, dblk=None):
+    b, n, d = v.shape
+    with_memory = mem_r is not None
+    f_half = n_fft // 2 + 1
+    if dblk is None:
+        # 256 reuses each resident M/A weight tile across twice the output
+        # lanes (fewer MXU weight reloads); measured faster than 128 at the
+        # flagship shape.  Fall back to 128 when d doesn't divide.
+        dblk = 256 if d % 256 == 0 else _DBLK
+    precision = jax.lax.Precision.DEFAULT if fast else _PREC
+    kernel = _make_direct_kernel(n_fft, with_memory, precision, dblk)
+    mr, mi, ar, ai = _direct_consts(n_fft)
+
+    grid = (b, d // dblk)
+    hg = g_r.shape[-1]
+    d_per_col = d // hg
+    blk = np.zeros((d // dblk, hg, dblk), np.float32)
+    for j in range(d // dblk):
+        for l in range(dblk):
+            blk[j, (j * dblk + l) // d_per_col, l] = 1.0
+
+    data_specs = [
+        pl.BlockSpec((1, n, dblk), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f_half, hg), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f_half, hg), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, dblk), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [v, g_r, g_i, jnp.asarray(blk)]
+    if with_memory:
+        data_specs += [
+            pl.BlockSpec((f_half, dblk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_half, dblk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [mem_r, mem_i]
+    for arr in (mr, mi, ar, ai):
+        data_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(arr))
+
+    kwargs = {}
+    if not interpret:
+        from fft_tpu.kernels.pallas_causal import _VMEM_LIMIT
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), v.dtype),
+        in_specs=data_specs,
+        out_specs=pl.BlockSpec((1, n, dblk), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(*args)
+    return out
+
+
+def _direct_supported(n_fft: int) -> bool:
+    """Direct-matrix kernel bound: MXU work scales with N^2 per column.
+    Same-process A/B on v5e at 8192 tokens (fast mode, dblk=256):
+    1024 = 0.136 ms direct vs 0.459 staged; 2048 = 0.258 vs 0.374 —
+    direct wins through 2048; past that the N^2 matrices lose to the
+    staged split-radix kernel (and stop fitting VMEM at 8k)."""
+    return n_fft % 2 == 0 and 8 <= n_fft <= 2048
+
+
 def _make_kernel(n_fft: int, with_memory: bool, precision=_PREC,
                  dblk: int = _DBLK):
     cst = _consts(n_fft)
@@ -375,6 +526,16 @@ def fused_spectral_mix(
     assert n == n_fft and d % _DBLK == 0, (v.shape, n_fft)
     hg = gate_bc.shape[-1]                # compact (B, F_half, H*G) or full d
     assert d % hg == 0 and (d // hg) * hg == d, (d, hg)
+
+    if _direct_supported(n_fft):
+        g = gate_bc.astype(jnp.complex64)
+        mem_r = mem_i = None
+        if memory_fft is not None:
+            m = memory_fft.astype(jnp.complex64)
+            mem_r, mem_i = jnp.real(m), jnp.imag(m)
+        return _direct_mix_call(v, jnp.real(g), jnp.imag(g), mem_r, mem_i,
+                                n_fft=n_fft, interpret=interpret, fast=fast)
+
     cst = _consts(n_fft)
     perm = jnp.asarray(cst["perm"])
 
