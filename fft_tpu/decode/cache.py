@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fft_tpu.config import SpectreConfig, SpectreHeadConfig
 from fft_tpu.layers.common import (
@@ -202,6 +203,59 @@ def spectre_multihead_decode_step(
     # Per-head projections, vmapped over stacked head params.
     q_t = jnp.einsum("bhi,hio->bho", xh, params["heads"]["w_q"]["w"])
     v_t = jnp.einsum("bhi,hio->bho", xh, params["heads"]["w_v"]["w"])
+
+    from fft_tpu.kernels import pallas_decode as pd
+    use_fused = (pd.ENABLE and not reference_compat
+                 and cfg.fft_impl in ("pallas", "auto")
+                 and (pd.INTERPRET or jax.default_backend() != "cpu"))
+    if use_fused:
+        # Experimental fused path (opt-in, see kernels/pallas_decode.py:
+        # XLA already fuses the jnp path below to near the bandwidth
+        # floor, so this measured SLOWER on v5e and is off by default).
+        t = cache.t + 1
+        j = jnp.mod(t, n)
+        wrapped = t >= n
+        evict = jnp.where(wrapped, 1.0, 0.0).astype(cache.prefix_re.dtype)
+        v_old = jnp.take_along_axis(
+            cache.v_buf, j[None, None, None, None], axis=-2)[..., 0, :]
+        q_old = jnp.take_along_axis(
+            cache.q_buf, j[None, None, None, None], axis=-2)[..., 0, :]
+        delta = (v_t - evict * v_old)[..., None, :]        # (B, H, 1, hd)
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            cache.v_buf, v_t[..., None, :], j, axis=-2)
+        q_buf = jax.lax.dynamic_update_slice_in_dim(
+            cache.q_buf, q_t[..., None, :], j, axis=-2)
+        sum_q = cache.sum_q + q_t - evict * q_old
+        cache = cache._replace(v_buf=v_buf, q_buf=q_buf, sum_q=sum_q, t=t)
+
+        descr = _decode_descriptor(params["heads"], hcfg, cache)
+        gate = jax.vmap(
+            lambda hp, dh: spectre_gate(hp, hcfg, dh),
+            in_axes=(0, 1), out_axes=1
+        )(params["heads"], descr)                          # (B, H, G, F)
+        gate_t = jnp.swapaxes(gate, -1, -2)                # (B, H, F, G)
+
+        ph = rfft_phasor(n, j)                             # (F,) complex
+        ph_r = jnp.real(ph)[None, :]
+        ph_i = jnp.imag(ph)[None, :]
+        pos = jnp.mod(t, n)
+        f_half = n // 2 + 1
+        k = jnp.arange(f_half, dtype=jnp.float32)
+        phase = (2.0 * np.pi / n) * k * pos.astype(jnp.float32)
+        coef = jnp.full((f_half,), 2.0).at[0].set(1.0).at[-1].set(1.0)
+        w_r = (coef * jnp.cos(phase) / n)[None, :]
+        w_i = (-coef * jnp.sin(phase) / n)[None, :]
+
+        pre_r, pre_i, y_h = pd.fused_decode_mix(
+            cache.prefix_re, cache.prefix_im,
+            jnp.real(gate_t), jnp.imag(gate_t), delta,
+            ph_r, ph_i, w_r, w_i, interpret=pd.INTERPRET)
+        cache = cache._replace(prefix_re=pre_r, prefix_im=pre_i)
+        y = y_h.reshape(b, d)
+        if memory_fft is not None:
+            pos_chron = jnp.minimum(cache.t, n - 1)
+            y = y + pruned_irfft_single(memory_fft, n, pos_chron)
+        return linear_apply(params["out_proj"], y), cache
 
     cache = cache_decode_step(cache, q_t, v_t,
                               reference_compat=reference_compat)
