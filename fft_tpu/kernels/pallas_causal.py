@@ -336,7 +336,10 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
     acc = nc * f2p * dblk * 4 * 2                # accumulators
     amat = chunk * f2p * 4 * 2 * 2               # A_r/A_i windows
     total = vin + out + kblk + psel + vscr + acc + amat
-    return total < 110 * 1024 * 1024
+    # 96 MB: the compiler's real allocation runs ~13% above this model
+    # (measured 120.2 MB where the model said 106 at nc=4, chunk=2048),
+    # and the scoped limit is 116 MB — keep that much slack.
+    return total < 96 * 1024 * 1024
 
 
 def _pick_dblk(nc: int, chunk: int, d: int, itemsize: int = 4) -> int:

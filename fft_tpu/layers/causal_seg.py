@@ -32,16 +32,22 @@ from fft_tpu.ops import fftops
 
 
 def preferred_causal_chunk(seq: int, d: int) -> int:
-    """Fastest measured chunk size for the causal block on v5e.
+    """Fastest measured chunk size for the causal block on v5e: the
+    largest of seq/4 (only when >= 512), seq/8, seq/16 that the fused
+    whole-mix kernel covers; else seq/16 for the v1 banded path, whose
+    cost grows with nc^2 at small chunks.
 
-    seq/8 when the fused whole-mix kernel covers it — fewer banded terms
-    and bigger in-kernel FFT tiles (measured: 12.3 -> 7.5 ms at seq 8k,
-    9.6 -> 7.4 ms at 2k); otherwise the larger of seq/8, seq/16 that the
-    kernel covers; otherwise seq/16 for the v1 banded path, whose cost
-    grows with nc^2 at small chunks (32k: chunk 1024 = 59.5 ms vs
-    chunk 2048 = 32.0 ms)."""
+    Measured block fwd ms (bf16, 32k tokens): 1k: C128 4.68 < C256 5.56;
+    2k: C512 5.67 < C256 7.02 < C128 9.55; 4k: C1024 5.92 < C512 6.58;
+    8k: C1024 7.47 < C512 12.3; 32k v1: C2048 32.0 < C1024 59.5.
+
+    This is a THROUGHPUT default: larger chunks also lengthen the causal
+    gate-descriptor lag (<= chunk tokens) — quality-sensitive configs can
+    set ``causal_chunk`` explicitly."""
     from fft_tpu.kernels.pallas_causal import fused_mix_supported
-    for c in (seq // 8, seq // 16):
+    cands = [seq // 4] if seq // 4 >= 512 else []
+    cands += [seq // 8, seq // 16]
+    for c in cands:
         if c >= 128 and seq % c == 0 and fused_mix_supported(seq // c, c, d):
             return c
     return max(128, seq // 16)
