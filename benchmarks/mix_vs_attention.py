@@ -65,7 +65,11 @@ def _flash_causal_attention(q, k, v):
     kj = jnp.arange(QBLK)[None, :]
 
     def per_qblock(ci, qc):
-        # scan over key blocks 0..ci with running max/denominator
+        # scan over key blocks 0..ci with running max/denominator.
+        # checkpoint: without it the scan's grad saves every block's score
+        # matrix -> O(N^2) memory, OOMing the bwd at seq 8k (flash
+        # attention's whole point is recomputing these in bwd).
+        @jax.checkpoint
         def body(carry, cj):
             m, l, acc = carry
             kc = kb[:, cj]

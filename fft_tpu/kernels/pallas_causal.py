@@ -301,8 +301,8 @@ banded_inverse.defvjp(_bi_fwd, _bi_bwd)
 # matmuls (P then E) — ~0.3 ms of extra MXU work at seq 8k, fully
 # overlapped.
 #
-# V spectra live in a (2*nc*f2p, 128) scratch with a zero region below
-# segment 0, so the causal shift is a single dynamic-offset slab read.
+# V spectra live in an (nc*f2p, 128) scratch; the banded loop starts at
+# c = delta so every shifted read c - delta stays in range.
 # ---------------------------------------------------------------------------
 
 
@@ -332,7 +332,7 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
     out = n * dblk * itemsize * 2                # y window
     kblk = f2p * max(ncg, 128) * 4 * 2 * 2       # K slab planes per delta
     psel = nc * ncg * max(32, 128) * 4           # P selector (resident)
-    vscr = 2 * nc * f2p * dblk * 4 * 2           # V spectra scratch (f32)
+    vscr = nc * f2p * dblk * 4 * 2               # V spectra scratch (f32)
     acc = nc * f2p * dblk * 4 * 2                # accumulators
     amat = chunk * f2p * 4 * 2 * 2               # A_r/A_i windows
     total = vin + out + kblk + psel + vscr + acc + amat
@@ -375,7 +375,7 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
 
         @pl.when(delta == 0)
         def _():
-            zero = jnp.zeros((2 * nc * f2p, dblk), jnp.float32)
+            zero = jnp.zeros((nc * f2p, dblk), jnp.float32)
             vr_scr[:] = zero
             vi_scr[:] = zero
             accr[:] = jnp.zeros((nc * f2p, dblk), jnp.float32)
@@ -402,7 +402,7 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
                 xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
                 x_nyq = jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
                                 keepdims=True)
-                base = (nc + s) * f2p
+                base = s * f2p
                 vr_scr[pl.ds(base, n2)] = xr
                 vi_scr[pl.ds(base, n2)] = xi
                 vr_scr[pl.ds(base + n2, 1)] = x_nyq
@@ -423,7 +423,7 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
             pc = p_ref[pl.ds(c * ncg, ncg)]           # (ncG, cols) one-hot
             gr = mm(mm(kslab_r, pc), e)               # (f2p, dblk)
             gi = mm(mm(kslab_i, pc), e)
-            voff = (nc + c - delta) * f2p
+            voff = (c - delta) * f2p
             vr = vr_scr[pl.ds(voff, f2p)]
             vi = vi_scr[pl.ds(voff, f2p)]
             aoff = c * f2p
@@ -539,8 +539,8 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
         out_specs=pl.BlockSpec((1, n, dblk), lambda i, j, dl: (i, 0, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((2 * nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
             pltpu.VMEM((nc * f2p, dblk), jnp.float32),
             pltpu.VMEM((nc * f2p, dblk), jnp.float32),
         ],
@@ -572,6 +572,109 @@ def _fused_causal_ref(v, kfr, kfi, chunk, cols,
     return y.reshape(b, n, d).astype(v.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _adj_weights_np(chunk: int) -> np.ndarray:
+    """(F2, 1) weights turning irfft_2C into the adjoint of rfft_2C:
+    adjoint_rfft(Z) = 2C * irfft(w * Z) with w = [1, 1/2 ... 1/2, 1]
+    (cancels irfft's 2x interior-bin doubling; the imaginary parts of the
+    DC/Nyquist cotangents multiply sin(pi*f*t/C) == 0 and drop exactly as
+    the true adjoint requires)."""
+    f2 = chunk + 1
+    w = np.full((f2, 1), 0.5, np.float32)
+    w[0] = 1.0
+    w[-1] = 1.0
+    return w
+
+
+def _fused_causal_bwd(v, kfr, kfi, ybar, chunk, cols, precision):
+    """Hand-derived VJP of fused_causal_mix, entirely in the lane-folded
+    producer layout: no (c, j, F2) relayout of the nc^2-sized K arrays and
+    no autodiff slice-adjoint chains (jax.vjp of the jnp reference measured
+    ~5.4x the forward cost at seq 2k; this is written from the adjoint
+    algebra of the three linear stages).
+
+    Returns (vbar, kfr_bar, kfi_bar) matching the primal layouts."""
+    from fft_tpu.kernels.matfft import irfft_matmul, rfft_matmul
+    b, n, d = v.shape
+    nc = n // chunk
+    f2 = chunk + 1
+    d_g = d // cols
+
+    # recompute segment spectra (the primal's delta==0 stage); everything
+    # below stays at FULL d lanes — a (cols, d_g) grouped view puts
+    # d_g(=16) on the lane axis and runs the whole banded sweep at ~1/8
+    # lane utilization (measured 12 ms vs ~4 ms for this formulation)
+    vs = v.astype(jnp.float32).reshape(b, nc, chunk, d)
+    v_prev = jnp.pad(vs[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    seg = jnp.concatenate([v_prev, vs], axis=2)
+    vf = rfft_matmul(seg, 2 * chunk, axis=-2, precision=precision)
+    vr, vi = jnp.real(vf), jnp.imag(vf)            # (B, nc, F2, d)
+
+    # accbar planes: R = d acc_re, I = d acc_im  (adjoint of the partial
+    # irFFT rows)
+    ar, ai = _inv_rows_np(chunk)
+    yb = ybar.astype(jnp.float32).reshape(b, nc, chunk, d)
+    R = jnp.einsum("tf,bctd->bcfd", jnp.asarray(ar), yb,
+                   precision=precision)
+    I = jnp.einsum("tf,bctd->bcfd", jnp.asarray(ai), yb,
+                   precision=precision)
+
+    kf5r = kfr.reshape(b, nc, f2, nc, cols)        # (B, delta, F2, c, G)
+    kf5i = kfi.reshape(b, nc, f2, nc, cols)
+
+    # one-hot group<->channel maps (the same trick the fwd kernel uses:
+    # Mosaic/XLA lane repeats and lane reductions ride the MXU)
+    e = np.zeros((cols, d), np.float32)
+    for l in range(d):
+        e[l // d_g, l] = 1.0
+    e = jnp.asarray(e)
+
+    krbar = []
+    kibar = []
+    vrbar = jnp.zeros_like(vr)
+    vibar = jnp.zeros_like(vi)
+    for dl in range(nc):
+        # ---- K grads at lag dl: dK[c, dl] = <accbar_c, V_{c-dl}> -------
+        pad = ((0, 0), (dl, 0), (0, 0), (0, 0))
+        vr_s = jnp.pad(vr, pad)[:, :nc]            # V_{c-dl} (0 for c<dl)
+        vi_s = jnp.pad(vi, pad)[:, :nc]
+        # reduce channels->groups via the one-hot, emitting the producer's
+        # (B, F2, c, G) order straight out of the contraction
+        krbar.append(jnp.einsum("bcfD,gD->bfcg", R * vr_s + I * vi_s, e,
+                                precision=precision))
+        kibar.append(jnp.einsum("bcfD,gD->bfcg", I * vr_s - R * vi_s, e,
+                                precision=precision))
+        # ---- V grads: dV_j += conj-combo(K[j+dl, dl], accbar_{j+dl}) ---
+        fpad = ((0, 0), (0, dl), (0, 0), (0, 0))
+        r_f = jnp.pad(R, fpad)[:, dl:]             # accbar_{j+dl}
+        i_f = jnp.pad(I, fpad)[:, dl:]
+        k_r = jnp.moveaxis(kf5r[:, dl], 2, 1)      # (B, c, F2, G)
+        k_i = jnp.moveaxis(kf5i[:, dl], 2, 1)
+        kpad = ((0, 0), (0, dl), (0, 0), (0, 0))
+        kr_f = jnp.einsum("bcfg,gD->bcfD",
+                          jnp.pad(k_r, kpad)[:, dl:], e,
+                          precision=precision)     # expand G -> d lanes
+        ki_f = jnp.einsum("bcfg,gD->bcfD",
+                          jnp.pad(k_i, kpad)[:, dl:], e,
+                          precision=precision)
+        vrbar = vrbar + kr_f * r_f + ki_f * i_f
+        vibar = vibar + kr_f * i_f - ki_f * r_f
+
+    kfr_bar = jnp.stack(krbar, axis=1).reshape(kfr.shape)
+    kfi_bar = jnp.stack(kibar, axis=1).reshape(kfi.shape)
+
+    # adjoint of the segment rFFT, then overlap-add the 2C taps back onto
+    # the two chunks each segment covers
+    w = jnp.asarray(_adj_weights_np(chunk))
+    zbar = jax.lax.complex(vrbar * w, vibar * w)
+    segbar = 2 * chunk * irfft_matmul(zbar, 2 * chunk, axis=-2,
+                                      precision=precision)
+    vbar = segbar[:, :, chunk:] + jnp.pad(
+        segbar[:, 1:, :chunk], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    return (vbar.reshape(b, n, d).astype(v.dtype),
+            kfr_bar.astype(kfr.dtype), kfi_bar.astype(kfi.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_causal_mix(v, kfr, kfi, chunk: int, cols: int,
                      fast: bool = False, interpret: bool = False):
@@ -595,10 +698,336 @@ def _fc_bwd(chunk, cols, fast, interpret, res, ybar):
     v, kfr, kfi = res
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
-    _, vjp = jax.vjp(
-        lambda a, b, c: _fused_causal_ref(a, b, c, chunk, cols, prec),
-        v, kfr, kfi)
-    return vjp(ybar)
+    nc = v.shape[1] // chunk
+    dblk = _pick_dblk_bwd(nc, chunk, v.shape[-1], cols, v.dtype.itemsize)
+    if dblk:
+        return _fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
+                                      cols=cols, fast=fast,
+                                      interpret=interpret)
+    return _fused_causal_bwd(v, kfr, kfi, ybar, chunk, cols, prec)
 
 
 fused_causal_mix.defvjp(_fc_fwd, _fc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused BACKWARD kernel — the adjoint of fused_causal_mix with the same
+# structure: the jnp backward is HBM-bound on its (B, nc, F2, d) spectra
+# intermediates (~3.3 GB of traffic at seq 2k -> 11 ms); here both FFT
+# stages are recomputed in VMEM and every (b, 128-lane) program streams:
+#
+#   delta == 0   : segment-FFT the v slab into scratch (as in fwd) AND
+#                  FFT each ybar chunk zero-padded to 2C with the
+#                  partial-irFFT-adjoint row scale folded into the
+#                  untangle constants: accbar_c = coef*(-1)^f/2C (.)
+#                  rfft_2C([ybar_c ; 0])  (delay identity)
+#   every delta  : for c = delta..nc-1:
+#                    Kbar[delta] += group-reduce(accbar_c (.)' V_{c-delta})
+#                    Vfbar_{c-delta} += sel_c(K[delta]) (.)' accbar_c
+#   delta == nc-1: vbar = overlap-add of Madj @ Vfbar_j  (adjoint of the
+#                  segment rFFT; descending-j carry handles the 2C overlap)
+#
+# Kbar is emitted as per-dblk partials (B, d/dblk, nc, F2, ncG) summed by
+# XLA afterwards — no cross-grid-step output accumulation needed.
+# ---------------------------------------------------------------------------
+
+
+def _pick_dblk_bwd(nc: int, chunk: int, d: int, cols: int,
+                   itemsize: int = 4):
+    """Channel-block width for the bwd kernel, or None if no width fits
+    its VMEM footprint (fall back to the jnp backward)."""
+    f2p = _pad8(chunk + 1)
+    ncg = nc * cols
+    for dblk in (256, 128):
+        if d % dblk:
+            continue
+        n = nc * chunk
+        vin = (n + chunk) * dblk * itemsize * 2
+        ybin = n * dblk * itemsize * 2
+        vout = n * dblk * itemsize * 2
+        kblk = f2p * max(ncg, 128) * 4 * 2 * 2
+        kout = f2p * max(ncg, 128) * 4 * 2 * 2
+        scr = 6 * nc * f2p * dblk * 4        # vr,vi + R,I + vbr,vbi
+        e2 = nc * dblk * max(ncg, 128) * 4
+        madj = 2 * (2 * chunk) * f2p * 4 * 2
+        psel = nc * ncg * max(cols, 128) * 4
+        total = vin + ybin + vout + kblk + kout + scr + e2 + madj + psel
+        if total < 96 * 1024 * 1024:
+            return dblk
+    return None
+
+
+def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
+                           dblk: int):
+    import fft_tpu.kernels.pallas_fft as pf
+    cst = pf._consts(2 * chunk)
+    n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
+    assert n2 == chunk
+    f2p = _pad8(n2 + 1)
+    ncg = nc * cols
+
+    def kernel(v_ref, yb_ref, kr_ref, ki_ref, p_ref, e_ref, e2_ref,
+               mar_ref, mai_ref,
+               w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+               afr_ref, afi_ref, bfr_ref, bfi_ref,
+               sfr_ref, sfi_ref, sgr_ref, sgi_ref, snyq_ref,
+               ov_ref, okr_ref, oki_ref,
+               vr_scr, vi_scr, rbar, ibar, vbr, vbi):
+        delta = pl.program_id(2)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        @pl.when(delta == 0)
+        def _():
+            zero1 = jnp.zeros((nc * f2p, dblk), jnp.float32)
+            vr_scr[:] = zero1   # pad rows must be 0, not garbage (0*nan)
+            vi_scr[:] = zero1
+            vbr[:] = zero1
+            vbi[:] = zero1
+            rbar[:] = zero1
+            ibar[:] = zero1
+            w1r, w1i = w1r_ref[:], w1i_ref[:]
+            twr, twi = twr_ref[:], twi_ref[:]
+            w2r, w2i = w2r_ref[:], w2i_ref[:]
+
+            def pack_fft(slab):
+                """(2C, dblk) real slab -> untangled rFFT rows; returns
+                (xr, xi (n2, dblk), sums for the Nyquist row)."""
+                zs = slab.reshape(n2, 2 * dblk)
+                fsr, fsi = pf.staged_dft(zs, None, w1r, w1i, twr, twi,
+                                         w2r, w2i, f1, f2d, precision)
+                frr, fir = fsr[:, :dblk], fsr[:, dblk:]
+                fri, fii = fsi[:, :dblk], fsi[:, dblk:]
+                return ((frr - fii), (fri + fir), (frr + fii), (fri - fir),
+                        jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
+                                keepdims=True))
+
+            afr, afi = afr_ref[:], afi_ref[:]
+            bfr, bfi = bfr_ref[:], bfi_ref[:]
+
+            def seg_body(s, carry):
+                seg = v_ref[0, pl.ds(s * chunk, 2 * chunk)].astype(
+                    jnp.float32)
+                pr, pi, zcr, zci, x_nyq = pack_fft(seg)
+                xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+                xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+                base = s * f2p
+                vr_scr[pl.ds(base, n2)] = xr
+                vi_scr[pl.ds(base, n2)] = xi
+                vr_scr[pl.ds(base + n2, 1)] = x_nyq
+                return carry
+
+            jax.lax.fori_loop(0, nc, seg_body, 0)
+
+            # accbar: scaled rFFT of [ybar_c ; 0] — sfr/sfi/sgr/sgi are the
+            # untangle constants with the adjoint row scale pre-folded
+            sfr, sfi = sfr_ref[:], sfi_ref[:]
+            sgr, sgi = sgr_ref[:], sgi_ref[:]
+            s_nyq = snyq_ref[0, 0]
+
+            def acc_body(c, carry):
+                yc = yb_ref[0, pl.ds(c * chunk, chunk)].astype(jnp.float32)
+                slab = jnp.concatenate(
+                    [yc, jnp.zeros((chunk, dblk), jnp.float32)], axis=0)
+                pr, pi, zcr, zci, x_nyq = pack_fft(slab)
+                rr = sfr * pr - sfi * pi + sgr * zcr - sgi * zci
+                ri = sfr * pi + sfi * pr + sgr * zci + sgi * zcr
+                base = c * f2p
+                rbar[pl.ds(base, n2)] = rr
+                ibar[pl.ds(base, n2)] = ri
+                rbar[pl.ds(base + n2, 1)] = x_nyq * s_nyq
+                ibar[pl.ds(base + n2, 1)] = jnp.zeros((1, dblk), jnp.float32)
+                return carry
+
+            jax.lax.fori_loop(0, nc, acc_body, 0)
+
+        e = e_ref[0]                                   # (cols, dblk)
+        kslab_r = jnp.pad(kr_ref[0, 0], ((0, f2p - n2 - 1), (0, 0)))
+        kslab_i = jnp.pad(ki_ref[0, 0], ((0, f2p - n2 - 1), (0, 0)))
+
+        def delta_body(c, carry):
+            kbr, kbi = carry
+            roff = c * f2p
+            rr = rbar[pl.ds(roff, f2p)]
+            ri = ibar[pl.ds(roff, f2p)]
+            voff = (c - delta) * f2p
+            vr = vr_scr[pl.ds(voff, f2p)]
+            vi = vi_scr[pl.ds(voff, f2p)]
+            # K grads: group-reduce to this chunk's column block
+            e2c = e2_ref[0, pl.ds(c, 1)][0]            # (dblk, ncG)
+            kbr = kbr + mm(rr * vr + ri * vi, e2c)
+            kbi = kbi + mm(ri * vr - rr * vi, e2c)
+            # V grads at j = c - delta
+            pc = p_ref[pl.ds(c * ncg, ncg)]
+            gr = mm(mm(kslab_r, pc), e)
+            gi = mm(mm(kslab_i, pc), e)
+            joff = (c - delta) * f2p
+            vbr[pl.ds(joff, f2p)] = vbr[pl.ds(joff, f2p)] + (
+                gr * rr + gi * ri)
+            vbi[pl.ds(joff, f2p)] = vbi[pl.ds(joff, f2p)] + (
+                gr * ri - gi * rr)
+            return kbr, kbi
+
+        zero_kb = jnp.zeros((f2p, ncg), jnp.float32)
+        kbr, kbi = jax.lax.fori_loop(delta, nc, delta_body,
+                                     (zero_kb, zero_kb))
+        okr_ref[0, 0, 0] = kbr[:n2 + 1]
+        oki_ref[0, 0, 0] = kbi[:n2 + 1]
+
+        @pl.when(delta == nc - 1)
+        def _():
+            mar = mar_ref[:]                           # (2C, f2p)
+            mai = mai_ref[:]
+
+            def j_body(i, carry):
+                j = nc - 1 - i
+                sb = (mm(mar, vbr[pl.ds(j * f2p, f2p)])
+                      + mm(mai, vbi[pl.ds(j * f2p, f2p)]))  # (2C, dblk)
+                ov_ref[0, pl.ds(j * chunk, chunk)] = (
+                    sb[chunk:] + carry).astype(ov_ref.dtype)
+                return sb[:chunk]
+
+            jax.lax.fori_loop(0, nc, j_body,
+                              jnp.zeros((chunk, dblk), jnp.float32))
+
+    return kernel, f2p
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "cols", "fast", "interpret"))
+def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
+                           interpret=False):
+    import fft_tpu.kernels.pallas_fft as pf
+    b, n, d = v.shape
+    nc = n // chunk
+    ncg = nc * cols
+    f2 = chunk + 1
+    d_g = d // cols
+    precision = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
+    dblk = _pick_dblk_bwd(nc, chunk, d, cols, v.dtype.itemsize)
+    assert dblk, (nc, chunk, d)
+    kernel, f2p = _make_fused_bwd_kernel(nc, chunk, cols, precision, dblk)
+    cst = pf._consts(2 * chunk)
+    n2 = cst["n2"]
+    assert np.array_equal(cst["perm"], np.arange(n2)), "non-natural DFT order"
+
+    # adjoint row scale s_f = coef_f * (-1)^f / 2C folded into a second set
+    # of untangle constants (the delay identity: rows C..2C-1 of the
+    # partial-irFFT adjoint == s (.) rfft_2C([y ; 0]))
+    f_idx = np.arange(n2)
+    coef = np.full(n2, 2.0, np.float32)
+    coef[0] = 1.0
+    s_rows = (coef * ((-1.0) ** f_idx) / (2 * chunk)).astype(np.float32)
+    s_col = s_rows[:, None]
+    s_nyq = np.float32(((-1.0) ** n2) / (2 * chunk))   # coef_nyq = 1
+
+    # Madj: adjoint of the 2C rFFT (no normalization, no coef doubling)
+    t_idx = np.arange(2 * chunk)
+    ang = 2.0 * np.pi * np.outer(t_idx, np.arange(f2)) / (2 * chunk)
+    mar = np.zeros((2 * chunk, f2p), np.float32)
+    mai = np.zeros((2 * chunk, f2p), np.float32)
+    mar[:, :f2] = np.cos(ang)
+    mai[:, :f2] = -np.sin(ang)
+
+    p_sel = np.zeros((nc * ncg, cols), np.float32)
+    for c in range(nc):
+        for g in range(cols):
+            p_sel[c * ncg + c * cols + g, g] = 1.0
+
+    njb = d // dblk
+    e = np.zeros((njb, cols, dblk), np.float32)
+    e2 = np.zeros((njb, nc, dblk, ncg), np.float32)
+    for j in range(njb):
+        for l in range(dblk):
+            g = (j * dblk + l) // d_g
+            e[j, g, l] = 1.0
+            for c in range(nc):
+                e2[j, c, l, c * cols + g] = 1.0
+
+    sfr = s_col * np.asarray(cst["afr"], np.float32)
+    sfi = s_col * np.asarray(cst["afi"], np.float32)
+    sgr = s_col * np.asarray(cst["bfr"], np.float32)
+    sgi = s_col * np.asarray(cst["bfi"], np.float32)
+    snyq = np.full((1, 1), s_nyq, np.float32)
+
+    v_pad = jnp.pad(v, ((0, 0), (chunk, 0), (0, 0)))
+
+    const_specs = []
+    const_args = []
+    for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                 "afr", "afi", "bfr", "bfi"):
+        arr = np.asarray(cst[name], np.float32)
+        const_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, dl, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        const_args.append(jnp.asarray(arr))
+    for arr in (sfr, sfi, sgr, sgi, snyq):
+        const_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, dl, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        const_args.append(jnp.asarray(arr))
+
+    grid = (b, njb, nc)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    ov, okr, oki = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), v.dtype),
+            jax.ShapeDtypeStruct((b, njb, nc, f2, ncg), jnp.float32),
+            jax.ShapeDtypeStruct((b, njb, nc, f2, ncg), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, n + chunk, dblk), lambda i, j, dl: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, dblk), lambda i, j, dl: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f2, ncg), lambda i, j, dl: (i, dl, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f2, ncg), lambda i, j, dl: (i, dl, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc * ncg, cols), lambda i, j, dl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols, dblk), lambda i, j, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, dblk, ncg), lambda i, j, dl: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * chunk, f2p), lambda i, j, dl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * chunk, f2p), lambda i, j, dl: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs,
+        out_specs=(
+            pl.BlockSpec((1, n, dblk), lambda i, j, dl: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f2, ncg),
+                         lambda i, j, dl: (i, j, dl, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f2, ncg),
+                         lambda i, j, dl: (i, j, dl, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(v_pad, ybar.astype(v.dtype), kfr, kfi, jnp.asarray(p_sel),
+      jnp.asarray(e), jnp.asarray(e2), jnp.asarray(mar), jnp.asarray(mai),
+      *const_args)
+    kfr_bar = jnp.sum(okr, axis=1).astype(kfr.dtype)
+    kfi_bar = jnp.sum(oki, axis=1).astype(kfi.dtype)
+    return ov, kfr_bar, kfi_bar

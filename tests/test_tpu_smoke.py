@@ -44,6 +44,26 @@ def test_fused_mix_chip():
 
 
 @requires_tpu
+def test_fused_causal_bwd_chip():
+    from fft_tpu.kernels import pallas_causal as pc
+    b, nc, chunk, d, cols = 2, 8, 256, 512, 32
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    ybar = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    got = pc._fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
+                                    cols=cols, fast=False, interpret=False)
+    ref = jax.jit(pc._fused_causal_bwd,
+                  static_argnums=(4, 5, 6))(v, kfr, kfi, ybar, chunk, cols,
+                                            jax.lax.Precision.HIGHEST)
+    for g, r in zip(got, ref):
+        assert _rel(g, r) < 1e-5
+
+
+@requires_tpu
 def test_fused_causal_v2_chip():
     from fft_tpu.kernels import pallas_causal as pc
     b, nc, chunk, d, cols = 2, 8, 256, 512, 32
