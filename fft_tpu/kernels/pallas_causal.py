@@ -310,6 +310,19 @@ def _pad8(x: int) -> int:
     return -(-x // 8) * 8
 
 
+def _staged_out(chunk: int) -> bool:
+    """Use the staged inverse for the output stage instead of the dense
+    (C, F2) partial-irFFT matrices.  The delay identity
+    ``irfft_2C(M)[C+t] == irfft_2C((-1)^k (.) M)[t]`` turns the partial
+    irFFT into a standard length-2C inverse whose staged form costs
+    O(C*(f1+f2)) per lane instead of the dense O(C*F2) — ~15x less MXU
+    work at chunk 2048 — and drops the two (C, F2) resident A matrices
+    (67 MiB of VMEM at chunk 2048) from the budget entirely.  Dense stays
+    for small chunks where the matrices are tiny and the staged form's
+    extra VPU passes dominate."""
+    return chunk >= 512
+
+
 def fused_mix_supported(nc: int, chunk: int, d: int) -> bool:
     """VMEM-budget + plan predicate for the v2 fused causal kernel."""
     from fft_tpu.kernels.pallas_fft import _mix_factors
@@ -334,7 +347,12 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
     psel = nc * ncg * max(32, 128) * 4           # P selector (resident)
     vscr = nc * f2p * dblk * 4 * 2               # V spectra scratch (f32)
     acc = nc * f2p * dblk * 4 * 2                # accumulators
-    amat = chunk * f2p * 4 * 2 * 2               # A_r/A_i windows
+    if _staged_out(chunk):
+        # staged inverse: no dense A windows; ~6 live (C, 2*dblk) f32
+        # stage buffers inside the out loop instead
+        amat = 6 * chunk * 2 * dblk * 4
+    else:
+        amat = chunk * f2p * 4 * 2 * 2           # A_r/A_i windows
     total = vin + out + kblk + psel + vscr + acc + amat
     # 96 MB: the compiler's real allocation runs ~13% above this model
     # (measured 120.2 MB where the model said 106 at nc=4, chunk=2048),
@@ -361,11 +379,21 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
     assert n2 == chunk
     f2p = _pad8(n2 + 1)
     ncg = nc * cols
+    staged = _staged_out(chunk)
+    b0r, b0i = cst["b0"].real, cst["b0"].imag
 
-    def kernel(v_ref, kr_ref, ki_ref, p_ref, e_ref, ar_ref, ai_ref,
-               w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
-               afr_ref, afi_ref, bfr_ref, bfi_ref,
-               o_ref, vr_scr, vi_scr, accr, acci):
+    def kernel(v_ref, kr_ref, ki_ref, p_ref, e_ref, *rest):
+        if staged:
+            (i1r_ref, i1i_ref, itwr_ref, itwi_ref, i2r_ref, i2i_ref,
+             airp_ref, aiip_ref, cirp_ref, ciip_ref, dc_ref,
+             w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref,
+             o_ref, vr_scr, vi_scr, accr, acci) = rest
+        else:
+            (ar_ref, ai_ref,
+             w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref,
+             o_ref, vr_scr, vi_scr, accr, acci) = rest
         delta = pl.program_id(2)
 
         def mm(a, b):
@@ -437,16 +465,48 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
 
         @pl.when(delta == nc - 1)
         def _():
-            ar = ar_ref[:]                            # (C, f2p)
-            ai = ai_ref[:]
-
             # fori (not unrolled): a static unroll at nc=16 spilled ~47 MB
             # of registers and blew the 128 MB VMEM budget
-            def out_body(c, carry):
-                y = (mm(ar, accr[pl.ds(c * f2p, f2p)])
-                     + mm(ai, acci[pl.ds(c * f2p, f2p)]))
-                o_ref[0, pl.ds(c * chunk, chunk)] = y.astype(o_ref.dtype)
-                return carry
+            if staged:
+                # staged inverse via the delay identity: y_c = first C rows
+                # of irfft_2C((-1)^k (.) acc_c); the (-1)^k sign is folded
+                # into the A'/C' untangle rows host-side.
+                i1r, i1i = i1r_ref[:], i1i_ref[:]
+                itwr, itwi = itwr_ref[:], itwi_ref[:]
+                i2r, i2i = i2r_ref[:], i2i_ref[:]
+                airp, aiip = airp_ref[:], aiip_ref[:]
+                cirp, ciip = cirp_ref[:], ciip_ref[:]
+                dc = dc_ref[:]
+
+                def out_body(c, carry):
+                    base = c * f2p
+                    mr = accr[pl.ds(base, n2)]
+                    mi = acci[pl.ds(base, n2)] * (1.0 - dc)
+                    m_nyq = accr[pl.ds(base + n2, 1)]
+                    amr = airp * mr - aiip * mi
+                    ami = airp * mi + aiip * mr
+                    cmr = cirp * mr + ciip * mi       # C' (.) conj(M)
+                    cmi = ciip * mr - cirp * mi
+                    sr = jnp.concatenate([amr, cmr], axis=-1)
+                    si = jnp.concatenate([ami, -cmi], axis=-1)
+                    tr, ti = pf.staged_dft(sr, si, i1r, i1i, itwr, itwi,
+                                           i2r, i2i, f1, f2d, precision)
+                    z_r = tr[:, :dblk] + tr[:, dblk:] + b0r * m_nyq
+                    z_i = ti[:, :dblk] - ti[:, dblk:] + b0i * m_nyq
+                    # y[2m] = z_r[m], y[2m+1] = z_i[m]; keep rows 0..C-1
+                    y = jnp.stack([z_r[:n2 // 2], z_i[:n2 // 2]],
+                                  axis=1).reshape(n2, dblk)
+                    o_ref[0, pl.ds(c * chunk, chunk)] = y.astype(o_ref.dtype)
+                    return carry
+            else:
+                ar = ar_ref[:]                        # (C, f2p)
+                ai = ai_ref[:]
+
+                def out_body(c, carry):
+                    y = (mm(ar, accr[pl.ds(c * f2p, f2p)])
+                         + mm(ai, acci[pl.ds(c * f2p, f2p)]))
+                    o_ref[0, pl.ds(c * chunk, chunk)] = y.astype(o_ref.dtype)
+                    return carry
 
             jax.lax.fori_loop(0, nc, out_body, 0)
 
@@ -475,12 +535,25 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
     # (K slabs are padded to f2p rows inside the kernel).
     assert np.array_equal(cst["perm"], np.arange(n2)), "non-natural DFT order"
 
-    # partial-irFFT rows, zero columns over the padding
-    ar_n, ai_n = _inv_rows_np(chunk)                  # (C, n2+1) natural
-    ar_p = np.zeros((chunk, f2p), np.float32)
-    ai_p = np.zeros((chunk, f2p), np.float32)
-    ar_p[:, :n2 + 1] = ar_n
-    ai_p[:, :n2 + 1] = ai_n
+    staged = _staged_out(chunk)
+    if staged:
+        # (-1)^k delay fold into the inverse untangle rows (delay identity:
+        # partial irFFT rows C..2C-1 == full irfft of the sign-flipped
+        # spectrum, rows 0..C-1); sign at Nyquist is (+1)^C == +1 (C even).
+        sgn = ((-1.0) ** np.arange(n2))[:, None].astype(np.float32)
+        inv_rows = {
+            "airp": np.asarray(cst["air"], np.float32) * sgn,
+            "aiip": np.asarray(cst["aii"], np.float32) * sgn,
+            "cirp": np.asarray(cst["cir"], np.float32) * sgn,
+            "ciip": np.asarray(cst["cii"], np.float32) * sgn,
+        }
+    else:
+        # partial-irFFT rows, zero columns over the padding
+        ar_n, ai_n = _inv_rows_np(chunk)              # (C, n2+1) natural
+        ar_p = np.zeros((chunk, f2p), np.float32)
+        ai_p = np.zeros((chunk, f2p), np.float32)
+        ar_p[:, :n2 + 1] = ar_n
+        ai_p[:, :n2 + 1] = ai_n
 
     # P[c]: one-hot (ncG, cols) picking chunk c's column group out of the
     # producer's lane order l = c*cols + g; stacked along sublanes so the
@@ -500,13 +573,26 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
 
     const_specs = []
     const_args = []
-    for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
-                 "afr", "afi", "bfr", "bfi"):
-        arr = np.asarray(cst[name], np.float32)
+
+    def add_const(arr):
+        arr = np.asarray(arr, np.float32)
         const_specs.append(pl.BlockSpec(
             arr.shape, lambda i, j, dl, nd=arr.ndim: (0,) * nd,
             memory_space=pltpu.VMEM))
         const_args.append(jnp.asarray(arr))
+
+    if staged:
+        for name in ("i1r", "i1i", "itwr", "itwi", "i2r", "i2i"):
+            add_const(cst[name])
+        for name in ("airp", "aiip", "cirp", "ciip"):
+            add_const(inv_rows[name])
+        add_const(cst["dc"])
+    else:
+        add_const(ar_p)
+        add_const(ai_p)
+    for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                 "afr", "afi", "bfr", "bfi"):
+        add_const(cst[name])
 
     grid = (b, d // dblk, nc)
     kwargs = {}
@@ -531,10 +617,6 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cols, dblk), lambda i, j, dl: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, f2p), lambda i, j, dl: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, f2p), lambda i, j, dl: (0, 0),
-                         memory_space=pltpu.VMEM),
         ] + const_specs,
         out_specs=pl.BlockSpec((1, n, dblk), lambda i, j, dl: (i, 0, j),
                                memory_space=pltpu.VMEM),
@@ -546,8 +628,7 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
         ],
         interpret=interpret,
         **kwargs,
-    )(v_pad, kfr, kfi, jnp.asarray(p_sel), jnp.asarray(e),
-      jnp.asarray(ar_p), jnp.asarray(ai_p), *const_args)
+    )(v_pad, kfr, kfi, jnp.asarray(p_sel), jnp.asarray(e), *const_args)
     return out
 
 
@@ -749,12 +830,238 @@ def _pick_dblk_bwd(nc: int, chunk: int, d: int, cols: int,
         kout = f2p * max(ncg, 128) * 4 * 2 * 2
         scr = 6 * nc * f2p * dblk * 4        # vr,vi + R,I + vbr,vbi
         e2 = nc * dblk * max(ncg, 128) * 4
-        madj = 2 * (2 * chunk) * f2p * 4 * 2
+        if _staged_out(chunk):
+            # staged adjoint irFFT: no dense Madj windows (134 MiB at
+            # chunk 2048!), just ~6 live (C, 2*dblk) stage buffers
+            madj = 6 * chunk * 2 * dblk * 4
+        else:
+            madj = 2 * (2 * chunk) * f2p * 4 * 2
         psel = nc * ncg * max(cols, 128) * 4
         total = vin + ybin + vout + kblk + kout + scr + e2 + madj + psel
         if total < 96 * 1024 * 1024:
             return dblk
     return None
+
+
+# ---------------------------------------------------------------------------
+# Kernel-segment spectra producer ("kf kernel"): gate -> K segments in ONE
+# VMEM pass.  The jnp pipeline (layers/causal_seg.py: transpose -> length-
+# n_fft irfft -> nc rfft_2C's) is the causal block's largest remaining cost
+# at seq >= 4k (measured ~5.8 ms of a 7.2 ms block at seq 8k): each matfft
+# stage round-trips its (B, n, ncG) complex intermediates through HBM and
+# XLA materializes the twiddle/reshape steps.  Here one program per
+# (batch, 128-lane block) runs
+#
+#     K[j] = rfft_2C([ irfft_N(gate)[jC:(j+1)C] ; 0 ])   for all j
+#
+# entirely in VMEM: the inverse transform is the fused-mix kernel's
+# untangle + staged iDFT (pallas_fft._consts(n_fft)), the per-segment
+# forward is the fused-causal kernel's pack_fft (staged_dft of the
+# lane-stacked [z_re | z_im] slab), and the only HBM traffic is the gate
+# block in and the (nc, F2, 128) K planes out.
+#
+# Lane layout matches the producer convention everywhere: lane l = c*cols+g
+# (chunk-major), so the output feeds fused_causal_mix with NO relayout.
+# Linear in the gate => custom_vjp against the matfft composition is the
+# exact adjoint.
+# ---------------------------------------------------------------------------
+
+
+def kf_spectra_supported(n_fft: int, chunk: int) -> bool:
+    """VMEM/plan predicate for the fused kf kernel: both transforms need a
+    staged plan, and the inverse stage's ~6 live (n2, 256) f32 buffers +
+    the k_time scratch must fit the 116 MB scoped limit (n_fft <= 8192,
+    same bound as the staged mix kernel)."""
+    import fft_tpu.kernels.pallas_fft as pf
+    if pf._mix_factors(n_fft) is None or pf._mix_factors(2 * chunk) is None:
+        return False
+    if chunk % 8 or 2 * chunk > n_fft or n_fft % chunk:
+        return False
+    return n_fft <= 8192
+
+
+def _make_kf_kernel(n_fft: int, chunk: int, nc: int, precision):
+    import fft_tpu.kernels.pallas_fft as pf
+    ic = pf._consts(n_fft)                 # inverse (length n_fft)
+    fc = pf._consts(2 * chunk)             # forward (length 2C)
+    n2i, f1i, f2i = ic["n2"], ic["f1"], ic["f2"]
+    n2f, f1f, f2f = fc["n2"], fc["f1"], fc["f2"]
+    assert n2f == chunk
+    b0r, b0i = ic["b0"].real, ic["b0"].imag
+    lanes = _DBLK
+    f2 = chunk + 1
+
+    def kernel(gr_ref, gi_ref, gn_ref,
+               i1r_ref, i1i_ref, itwr_ref, itwi_ref, i2r_ref, i2i_ref,
+               air_ref, aii_ref, cir_ref, cii_ref, dc_ref,
+               w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+               afr_ref, afi_ref, bfr_ref, bfi_ref,
+               okr_ref, oki_ref, kt_scr):
+        # ---- inverse: k_time = irfft_N(gate) into scratch ----------------
+        mr = gr_ref[0]                                  # (n2i, 128) stage order
+        mi = gi_ref[0] * (1.0 - dc_ref[:])              # drop Im at DC
+        air, aii = air_ref[:], aii_ref[:]
+        cir, cii = cir_ref[:], cii_ref[:]
+        amr = air * mr - aii * mi
+        ami = air * mi + aii * mr
+        cmr = cir * mr + cii * mi                       # C (.) conj(M)
+        cmi = cii * mr - cir * mi
+        sr = jnp.concatenate([amr, cmr], axis=-1)       # (n2i, 256)
+        si = jnp.concatenate([ami, -cmi], axis=-1)
+        tr, ti = pf.staged_dft(sr, si, i1r_ref[:], i1i_ref[:], itwr_ref[:],
+                               itwi_ref[:], i2r_ref[:], i2i_ref[:],
+                               f1i, f2i, precision)
+        m_nyq = gn_ref[0]                               # (1, 128)
+        z_r = tr[:, :lanes] + tr[:, lanes:] + b0r * m_nyq
+        z_i = ti[:, :lanes] - ti[:, lanes:] + b0i * m_nyq
+        kt_scr[:] = jnp.stack([z_r, z_i], axis=1).reshape(n_fft, lanes)
+
+        # ---- forward: K[j] = rfft_2C([k_seg_j ; 0]) ----------------------
+        w1r, w1i = w1r_ref[:], w1i_ref[:]
+        twr, twi = twr_ref[:], twi_ref[:]
+        w2r, w2i = w2r_ref[:], w2i_ref[:]
+        afr, afi = afr_ref[:], afi_ref[:]
+        bfr, bfi = bfr_ref[:], bfi_ref[:]
+
+        def seg_body(j, carry):
+            seg = kt_scr[pl.ds(j * chunk, chunk)]       # (C, 128)
+            zs = jnp.concatenate(
+                [seg, jnp.zeros((chunk, lanes), jnp.float32)],
+                axis=0).reshape(n2f, 2 * lanes)         # [z_re | z_im] lanes
+            fsr, fsi = pf.staged_dft(zs, None, w1r, w1i, twr, twi,
+                                     w2r, w2i, f1f, f2f, precision)
+            frr, fir = fsr[:, :lanes], fsr[:, lanes:]
+            fri, fii = fsi[:, :lanes], fsi[:, lanes:]
+            pr = frr - fii
+            pi = fri + fir
+            zcr = frr + fii
+            zci = fri - fir
+            xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+            xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+            x_nyq = jnp.sum(zs[:, :lanes] - zs[:, lanes:], axis=0,
+                            keepdims=True)
+            okr_ref[0, j] = jnp.concatenate([xr, x_nyq], axis=0)
+            oki_ref[0, j] = jnp.concatenate(
+                [xi, jnp.zeros((1, lanes), jnp.float32)], axis=0)
+            return carry
+
+        jax.lax.fori_loop(0, nc, seg_body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "chunk", "fast", "interpret"))
+def _kf_spectra_call(g_r, g_i, *, n_fft, chunk, fast=False,
+                     interpret=False):
+    import fft_tpu.kernels.pallas_fft as pf
+    b, f_half, L = g_r.shape
+    assert f_half == n_fft // 2 + 1, (g_r.shape, n_fft)
+    assert L % _DBLK == 0, L
+    # k_time has n_fft rows and every chunk of it becomes a segment:
+    # requires n == nc*chunk == n_fft (the full-window causal shape).
+    nc = n_fft // chunk
+    precision = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
+    kernel = _make_kf_kernel(n_fft, chunk, nc, precision)
+    ic = pf._consts(n_fft)
+    fc = pf._consts(2 * chunk)
+    n2i = ic["n2"]
+    assert np.array_equal(ic["perm"], np.arange(n2i)), "non-natural order"
+    f2 = chunk + 1
+
+    # stage-order main rows + real Nyquist row (host-side split, tiny)
+    gm_r, gm_i = g_r[:, :n2i], g_i[:, :n2i]
+    g_nyq = g_r[:, n2i:n2i + 1]
+
+    const_specs = []
+    const_args = []
+    for cst, names in ((ic, ("i1r", "i1i", "itwr", "itwi", "i2r", "i2i",
+                             "air", "aii", "cir", "cii", "dc")),
+                       (fc, ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                             "afr", "afi", "bfr", "bfi"))):
+        for name in names:
+            arr = np.asarray(cst[name], np.float32)
+            const_specs.append(pl.BlockSpec(
+                arr.shape, lambda i, j, nd=arr.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM))
+            const_args.append(jnp.asarray(arr))
+
+    grid = (b, L // _DBLK)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    okr, oki = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nc, f2, L), jnp.float32),
+            jax.ShapeDtypeStruct((b, nc, f2, L), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, n2i, _DBLK), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2i, _DBLK), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _DBLK), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs,
+        out_specs=(
+            pl.BlockSpec((1, nc, f2, _DBLK), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, f2, _DBLK), lambda i, j: (i, 0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_fft, _DBLK), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(gm_r, gm_i, g_nyq, *const_args)
+    return okr, oki
+
+
+def _kf_spectra_ref(g_r, g_i, n_fft, chunk,
+                    precision=jax.lax.Precision.HIGHEST):
+    """matfft composition of the same map (VJP + correctness tests)."""
+    from fft_tpu.kernels.matfft import irfft_matmul, rfft_matmul
+    b, f_half, L = g_r.shape
+    nc = n_fft // chunk
+    g = jax.lax.complex(g_r, g_i)
+    k_time = irfft_matmul(g, n_fft, axis=-2, precision=precision)
+    k_seg = k_time.reshape(b, nc, chunk, L)
+    kf = rfft_matmul(k_seg, 2 * chunk, axis=-2, precision=precision)
+    return jnp.real(kf), jnp.imag(kf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def kf_spectra(g_r, g_i, n_fft: int, chunk: int, fast: bool = False,
+               interpret: bool = False):
+    """(kfr, kfi) (B, nc, F2, L) = per-segment 2C-spectra of the length-
+    n_fft gate kernels, lanes in the producer layout l = c*cols + g.
+
+    g_r/g_i: (B, n_fft//2+1, L) natural-order gate spectrum planes.
+    Requires n_fft == nc*chunk (full-window causal training shapes)."""
+    return _kf_spectra_call(g_r, g_i, n_fft=n_fft, chunk=chunk, fast=fast,
+                            interpret=interpret)
+
+
+def _kf_fwd(g_r, g_i, n_fft, chunk, fast, interpret):
+    return kf_spectra(g_r, g_i, n_fft, chunk, fast, interpret), (g_r, g_i)
+
+
+def _kf_bwd(n_fft, chunk, fast, interpret, res, kbar):
+    g_r, g_i = res
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    _, vjp = jax.vjp(
+        lambda a, b: _kf_spectra_ref(a, b, n_fft, chunk, prec), g_r, g_i)
+    return vjp(kbar)
+
+
+kf_spectra.defvjp(_kf_fwd, _kf_bwd)
 
 
 def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
@@ -766,13 +1073,26 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
     f2p = _pad8(n2 + 1)
     ncg = nc * cols
 
+    staged = _staged_out(chunk)
+    b0r, b0i = cst["b0"].real, cst["b0"].imag
+
     def kernel(v_ref, yb_ref, kr_ref, ki_ref, p_ref, e_ref, e2_ref,
-               mar_ref, mai_ref,
-               w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
-               afr_ref, afi_ref, bfr_ref, bfi_ref,
-               sfr_ref, sfi_ref, sgr_ref, sgi_ref, snyq_ref,
-               ov_ref, okr_ref, oki_ref,
-               vr_scr, vi_scr, rbar, ibar, vbr, vbi):
+               *rest):
+        if staged:
+            (i1r_ref, i1i_ref, itwr_ref, itwi_ref, i2r_ref, i2i_ref,
+             airw_ref, aiiw_ref, cirw_ref, ciiw_ref, dc_ref,
+             w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref,
+             sfr_ref, sfi_ref, sgr_ref, sgi_ref, snyq_ref,
+             ov_ref, okr_ref, oki_ref,
+             vr_scr, vi_scr, rbar, ibar, vbr, vbi) = rest
+        else:
+            (mar_ref, mai_ref,
+             w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref,
+             sfr_ref, sfi_ref, sgr_ref, sgi_ref, snyq_ref,
+             ov_ref, okr_ref, oki_ref,
+             vr_scr, vi_scr, rbar, ibar, vbr, vbi) = rest
         delta = pl.program_id(2)
 
         def mm(a, b):
@@ -879,16 +1199,53 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
 
         @pl.when(delta == nc - 1)
         def _():
-            mar = mar_ref[:]                           # (2C, f2p)
-            mai = mai_ref[:]
+            if staged:
+                # staged adjoint of the segment rFFT:
+                # adjoint_rfft(Z) = 2C * irfft_2C(w (.) Z); the 2C*w
+                # per-bin weights are folded into the A/C untangle rows
+                # host-side, so each segment costs one staged inverse
+                # (full 2C rows — both halves feed the overlap-add).
+                i1r, i1i = i1r_ref[:], i1i_ref[:]
+                itwr, itwi = itwr_ref[:], itwi_ref[:]
+                i2r, i2i = i2r_ref[:], i2i_ref[:]
+                airw, aiiw = airw_ref[:], aiiw_ref[:]
+                cirw, ciiw = cirw_ref[:], ciiw_ref[:]
+                dc = dc_ref[:]
+                b0rw = b0r * 2 * chunk
+                b0iw = b0i * 2 * chunk
 
-            def j_body(i, carry):
-                j = nc - 1 - i
-                sb = (mm(mar, vbr[pl.ds(j * f2p, f2p)])
-                      + mm(mai, vbi[pl.ds(j * f2p, f2p)]))  # (2C, dblk)
-                ov_ref[0, pl.ds(j * chunk, chunk)] = (
-                    sb[chunk:] + carry).astype(ov_ref.dtype)
-                return sb[:chunk]
+                def j_body(i, carry):
+                    j = nc - 1 - i
+                    base = j * f2p
+                    mr = vbr[pl.ds(base, n2)]
+                    mi_ = vbi[pl.ds(base, n2)] * (1.0 - dc)
+                    m_nyq = vbr[pl.ds(base + n2, 1)]
+                    amr = airw * mr - aiiw * mi_
+                    ami = airw * mi_ + aiiw * mr
+                    cmr = cirw * mr + ciiw * mi_       # C' (.) conj(M)
+                    cmi = ciiw * mr - cirw * mi_
+                    sr = jnp.concatenate([amr, cmr], axis=-1)
+                    si = jnp.concatenate([ami, -cmi], axis=-1)
+                    tr, ti = pf.staged_dft(sr, si, i1r, i1i, itwr, itwi,
+                                           i2r, i2i, f1, f2d, precision)
+                    z_r = tr[:, :dblk] + tr[:, dblk:] + b0rw * m_nyq
+                    z_i = ti[:, :dblk] - ti[:, dblk:] + b0iw * m_nyq
+                    sb = jnp.stack([z_r, z_i], axis=1).reshape(
+                        2 * chunk, dblk)
+                    ov_ref[0, pl.ds(j * chunk, chunk)] = (
+                        sb[chunk:] + carry).astype(ov_ref.dtype)
+                    return sb[:chunk]
+            else:
+                mar = mar_ref[:]                       # (2C, f2p)
+                mai = mai_ref[:]
+
+                def j_body(i, carry):
+                    j = nc - 1 - i
+                    sb = (mm(mar, vbr[pl.ds(j * f2p, f2p)])
+                          + mm(mai, vbi[pl.ds(j * f2p, f2p)]))  # (2C, dblk)
+                    ov_ref[0, pl.ds(j * chunk, chunk)] = (
+                        sb[chunk:] + carry).astype(ov_ref.dtype)
+                    return sb[:chunk]
 
             jax.lax.fori_loop(0, nc, j_body,
                               jnp.zeros((chunk, dblk), jnp.float32))
@@ -925,13 +1282,27 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
     s_col = s_rows[:, None]
     s_nyq = np.float32(((-1.0) ** n2) / (2 * chunk))   # coef_nyq = 1
 
-    # Madj: adjoint of the 2C rFFT (no normalization, no coef doubling)
-    t_idx = np.arange(2 * chunk)
-    ang = 2.0 * np.pi * np.outer(t_idx, np.arange(f2)) / (2 * chunk)
-    mar = np.zeros((2 * chunk, f2p), np.float32)
-    mai = np.zeros((2 * chunk, f2p), np.float32)
-    mar[:, :f2] = np.cos(ang)
-    mai[:, :f2] = -np.sin(ang)
+    staged = _staged_out(chunk)
+    if staged:
+        # adjoint_rfft(Z) = 2C * irfft_2C(w (.) Z); fold (2C * w) into the
+        # inverse untangle rows (w = [1, 1/2..1/2] over bins 0..C-1;
+        # Nyquist w=1 rides the b0 term scaled in-kernel)
+        w2c = np.full((n2, 1), float(chunk), np.float32)   # 2C * 1/2
+        w2c[0] = 2.0 * chunk                               # 2C * 1
+        adj_rows = {
+            "airw": np.asarray(cst["air"], np.float32) * w2c,
+            "aiiw": np.asarray(cst["aii"], np.float32) * w2c,
+            "cirw": np.asarray(cst["cir"], np.float32) * w2c,
+            "ciiw": np.asarray(cst["cii"], np.float32) * w2c,
+        }
+    else:
+        # Madj: adjoint of the 2C rFFT (no normalization, no coef doubling)
+        t_idx = np.arange(2 * chunk)
+        ang = 2.0 * np.pi * np.outer(t_idx, np.arange(f2)) / (2 * chunk)
+        mar = np.zeros((2 * chunk, f2p), np.float32)
+        mai = np.zeros((2 * chunk, f2p), np.float32)
+        mar[:, :f2] = np.cos(ang)
+        mai[:, :f2] = -np.sin(ang)
 
     p_sel = np.zeros((nc * ncg, cols), np.float32)
     for c in range(nc):
@@ -958,18 +1329,28 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
 
     const_specs = []
     const_args = []
+
+    def add_const(arr):
+        arr = np.asarray(arr, np.float32)
+        const_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, dl, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        const_args.append(jnp.asarray(arr))
+
+    if staged:
+        for name in ("i1r", "i1i", "itwr", "itwi", "i2r", "i2i"):
+            add_const(cst[name])
+        for name in ("airw", "aiiw", "cirw", "ciiw"):
+            add_const(adj_rows[name])
+        add_const(cst["dc"])
+    else:
+        add_const(mar)
+        add_const(mai)
     for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
                  "afr", "afi", "bfr", "bfi"):
-        arr = np.asarray(cst[name], np.float32)
-        const_specs.append(pl.BlockSpec(
-            arr.shape, lambda i, j, dl, nd=arr.ndim: (0,) * nd,
-            memory_space=pltpu.VMEM))
-        const_args.append(jnp.asarray(arr))
+        add_const(cst[name])
     for arr in (sfr, sfi, sgr, sgi, snyq):
-        const_specs.append(pl.BlockSpec(
-            arr.shape, lambda i, j, dl, nd=arr.ndim: (0,) * nd,
-            memory_space=pltpu.VMEM))
-        const_args.append(jnp.asarray(arr))
+        add_const(arr)
 
     grid = (b, njb, nc)
     kwargs = {}
@@ -1000,10 +1381,6 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nc, dblk, ncg), lambda i, j, dl: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * chunk, f2p), lambda i, j, dl: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * chunk, f2p), lambda i, j, dl: (0, 0),
-                         memory_space=pltpu.VMEM),
         ] + const_specs,
         out_specs=(
             pl.BlockSpec((1, n, dblk), lambda i, j, dl: (i, 0, j),
@@ -1026,8 +1403,7 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
         interpret=interpret,
         **kwargs,
     )(v_pad, ybar.astype(v.dtype), kfr, kfi, jnp.asarray(p_sel),
-      jnp.asarray(e), jnp.asarray(e2), jnp.asarray(mar), jnp.asarray(mai),
-      *const_args)
+      jnp.asarray(e), jnp.asarray(e2), *const_args)
     kfr_bar = jnp.sum(okr, axis=1).astype(kfr.dtype)
     kfi_bar = jnp.sum(oki, axis=1).astype(kfi.dtype)
     return ov, kfr_bar, kfi_bar

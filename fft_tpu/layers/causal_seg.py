@@ -83,22 +83,37 @@ def segmented_causal_mix(
     # (j, F2, c) -> (c, j, F2) XLA transpose+pad cost a further ~3-8 ms.)
     g_l = jnp.transpose(gate, (0, 3, 1, 2)).reshape(
         b, gate.shape[-1], nc * g_groups)                  # (B, F, c*G)
-    k_time = fftops.irfft(g_l, cfg.n_fft, axis=-2, impl=impl,
-                          precision=prec)                  # (B, N, c*G)
-    k_seg = k_time[:, :n].reshape(b, nc, chunk, nc * g_groups)
-    kf_l = fftops.rfft(k_seg, c2, axis=-2, impl=impl,
-                       precision=prec)                     # (B, j, F2, c*G)
 
-    # --- fused Pallas paths ------------------------------------------------
     from fft_tpu.kernels import pallas_causal as pc
     import jax as _jax
     use_pallas = (cfg.fft_impl == "pallas"
                   or (cfg.fft_impl == "auto"
                       and _jax.default_backend() != "cpu"))
     fast = cfg.compute_dtype == "bfloat16"
+
+    # --- fully-fused Pallas path ------------------------------------------
+    if (use_pallas and pc.fused_mix_supported(nc, chunk, d)
+            and pc.kf_spectra_supported(cfg.n_fft, chunk)
+            and n == cfg.n_fft and (nc * g_groups) % 128 == 0):
+        # kf kernel: gate -> kernel-segment spectra in one VMEM pass
+        # (replaces the length-N irfft + nc rfft_2C matfft pipeline, the
+        # block's largest remaining cost at seq >= 4k), then v2: segment
+        # rFFTs + banded sum + partial irFFT in ONE kernel that reads raw
+        # values once (no HBM segment-spectra round trip at all).
+        kfr, kfi = pc.kf_spectra(jnp.real(g_l), jnp.imag(g_l), cfg.n_fft,
+                                 chunk, fast, pc.INTERPRET)
+        y = pc.fused_causal_mix(v, kfr, kfi, chunk, g_groups, fast,
+                                pc.INTERPRET)
+        return y.astype(v.dtype)
+
+    k_time = fftops.irfft(g_l, cfg.n_fft, axis=-2, impl=impl,
+                          precision=prec)                  # (B, N, c*G)
+    k_seg = k_time[:, :n].reshape(b, nc, chunk, nc * g_groups)
+    kf_l = fftops.rfft(k_seg, c2, axis=-2, impl=impl,
+                       precision=prec)                     # (B, j, F2, c*G)
+
+    # --- fused Pallas mix (kf via matfft) ----------------------------------
     if use_pallas and pc.fused_mix_supported(nc, chunk, d):
-        # v2: segment rFFTs + banded sum + partial irFFT in ONE kernel that
-        # reads raw values once (no HBM segment-spectra round trip at all)
         y = pc.fused_causal_mix(v, jnp.real(kf_l), jnp.imag(kf_l),
                                 chunk, g_groups, fast, pc.INTERPRET)
         return y.astype(v.dtype)

@@ -132,3 +132,93 @@ def test_causal_multihead_pallas_v2_matches_matmul():
     ref = np.asarray(spectre_multihead_apply(params, cfg("matmul"), x))
     got = np.asarray(spectre_multihead_apply(params, cfg("pallas"), x))
     assert rel_err(got, ref) < 1e-5
+
+
+def test_kf_spectra_matches_ref():
+    """Fused kf kernel (irfft_N + segment rfft_2C in one pass) vs the
+    matfft composition."""
+    rng = np.random.default_rng(7)
+    n_fft, chunk, L = 512, 128, 128
+    assert pc.kf_spectra_supported(n_fft, chunk)
+    f = n_fft // 2 + 1
+    gr = jnp.asarray(rng.standard_normal((2, f, L)), jnp.float32)
+    gi = jnp.asarray(rng.standard_normal((2, f, L)), jnp.float32)
+    kr, ki = pc.kf_spectra(gr, gi, n_fft, chunk, False, True)
+    rr, ri = pc._kf_spectra_ref(gr, gi, n_fft, chunk)
+    assert rel_err(np.asarray(kr), np.asarray(rr)) < 1e-5
+    assert rel_err(np.asarray(ki), np.asarray(ri)) < 1e-5
+
+
+def test_kf_spectra_grads():
+    rng = np.random.default_rng(8)
+    n_fft, chunk, L = 256, 64, 128
+    f = n_fft // 2 + 1
+    gr = jnp.asarray(rng.standard_normal((1, f, L)), jnp.float32)
+    gi = jnp.asarray(rng.standard_normal((1, f, L)), jnp.float32)
+
+    def loss(fn):
+        return lambda a, b: sum(jnp.sum(o ** 2) for o in fn(a, b))
+
+    ga = jax.grad(loss(lambda a, b: pc.kf_spectra(
+        a, b, n_fft, chunk, False, True)), argnums=(0, 1))(gr, gi)
+    gb = jax.grad(loss(lambda a, b: pc._kf_spectra_ref(
+        a, b, n_fft, chunk)), argnums=(0, 1))(gr, gi)
+    for a, b_ in zip(ga, gb):
+        assert rel_err(np.asarray(a), np.asarray(b_)) < 1e-4
+
+
+def test_causal_multihead_fully_fused_matches_matmul():
+    """Layer-level dispatch where BOTH the kf kernel and the v2 mix kernel
+    engage (nc * heads * groups lanes divisible by 128, n == n_fft)."""
+    def cfg(impl):
+        return SpectreConfig(embed_dim=128, num_heads=4, n_fft=1024,
+                             pooling_type="mean", wavelet_on_rate=0.0,
+                             causal=True, causal_chunk=128,
+                             causal_impl="segmented", fft_impl=impl)
+    c = cfg("pallas")
+    nc = c.n_fft // c.causal_chunk
+    assert (nc * c.num_heads * c.num_groups) % 128 == 0
+    assert pc.kf_spectra_supported(c.n_fft, c.causal_chunk)
+    params = spectre_multihead_init(jax.random.key(9), cfg("matmul"))
+    x = jax.random.normal(jax.random.key(10), (1, 1024, 128))
+    ref = np.asarray(spectre_multihead_apply(params, cfg("matmul"), x))
+    got = np.asarray(spectre_multihead_apply(params, c, x))
+    assert rel_err(got, ref) < 1e-5
+
+
+def test_fused_causal_v2_staged_out_matches_ref():
+    """chunk >= 512 routes the output stage through the staged inverse
+    (delay identity) instead of the dense (C, F2) partial-irFFT matrices."""
+    rng = np.random.default_rng(11)
+    b, nc, chunk, d, cols = 1, 3, 512, 128, 4
+    assert pc._staged_out(chunk)
+    assert pc.fused_mix_supported(nc, chunk, d)
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    got = pc.fused_causal_mix(v, kfr, kfi, chunk, cols, False, True)
+    ref = pc._fused_causal_ref(v, kfr, kfi, chunk, cols)
+    assert rel_err(np.asarray(got), np.asarray(ref)) < 1e-5
+
+
+def test_fused_causal_bwd_staged_matches_jnp_adjoint():
+    """Staged adjoint-irFFT output stage of the fused bwd kernel (chunk >=
+    512) vs the hand-derived jnp adjoint."""
+    rng = np.random.default_rng(12)
+    b, nc, chunk, d, cols = 1, 3, 512, 128, 4
+    assert pc._staged_out(chunk)
+    assert pc._pick_dblk_bwd(nc, chunk, d, cols) is not None
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    ybar = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    got = pc._fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
+                                    cols=cols, fast=False, interpret=True)
+    ref = pc._fused_causal_bwd(v, kfr, kfi, ybar, chunk, cols,
+                               jax.lax.Precision.HIGHEST)
+    for a, b_ in zip(got, ref):
+        assert rel_err(np.asarray(a), np.asarray(b_)) < 1e-5
