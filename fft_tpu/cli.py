@@ -219,6 +219,11 @@ def cmd_bench_mix(args):
 
 
 def main(argv=None):
+    # Multi-host bring-up (no-op on a single host): must run before any
+    # backend touch so jax.devices() spans the whole slice/pod.
+    from fft_tpu.parallel.multihost import distributed_init
+    distributed_init()
+
     p = argparse.ArgumentParser(prog="fft_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -491,10 +491,15 @@ def spectre_multihead_apply(
                 causal_impl=cfg.causal_impl, memory_fft=mem,
                 dropout_rng=drng, deterministic=deterministic)
     else:
-        if sp_mesh is not None:
+        if sp_mesh is not None and sp_layout == "strided":
+            # The strided layout reorders the sequence; the wavelet pyramid
+            # is order-sensitive.  (The contiguous SP layout is fine: Haar
+            # pairs never cross even-length shard boundaries, so GSPMD
+            # keeps every level shard-local until the residue is tiny —
+            # covered by test_sp_block_wavelet_matches_single_device.)
             assert cfg.wavelet_on_rate == 0.0, (
-                "wavelet refinement is not sequence-shardable; set "
-                "wavelet_on_rate=0 under sequence parallelism")
+                "wavelet refinement needs the contiguous SP layout; set "
+                "wavelet_on_rate=0 for sp_layout='strided'")
 
         def run(hp, xi, mem, drng):
             return spectre_head_apply(

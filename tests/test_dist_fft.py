@@ -197,3 +197,30 @@ def test_sp_mix_contains_all_to_all():
 
     txt = run.lower(v).compile().as_text()
     assert "all-to-all" in txt, "expected an all-to-all in the SP mix"
+
+
+def test_sp_block_wavelet_matches_single_device():
+    """Wavelet refinement under contiguous SP: Haar pairs never cross
+    even-length shard boundaries, so the pyramid stays shard-local until
+    the residue is tiny; GSPMD handles the rest.  on_rate=1 makes the
+    branch deterministic."""
+    from fft_tpu.config import SpectreConfig
+    from fft_tpu.layers import spectre_block_apply, spectre_block_init
+
+    mesh = make_mesh(data=1, seq=4, model=1)
+    cfg = SpectreConfig(embed_dim=32, num_heads=4, n_fft=64,
+                        pooling_type="mean", wavelet_on_rate=1.0,
+                        fft_impl="matmul")
+    params = spectre_block_init(jax.random.key(2), cfg)
+    x = jax.random.normal(jax.random.key(3), (2, 64, 32))
+
+    expected = np.asarray(spectre_block_apply(params, cfg, x))
+
+    @jax.jit
+    def run(params, x):
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(None, "seq", None)))
+        return spectre_block_apply(params, cfg, x, sp_mesh=mesh)
+
+    got = np.asarray(run(params, x))
+    assert rel_err(got, expected) < 2e-5
