@@ -323,17 +323,31 @@ def _staged_out(chunk: int) -> bool:
     return chunk >= 512
 
 
-def fused_mix_supported(nc: int, chunk: int, d: int) -> bool:
-    """VMEM-budget + plan predicate for the v2 fused causal kernel."""
+def fused_mix_supported(nc: int, chunk: int, d: int,
+                        fast: bool = True) -> bool:
+    """VMEM-budget + plan predicate for the v2 fused causal kernel.
+    ``fast`` additionally admits shapes that only fit with the bf16
+    scratch variant (long-context 32k shapes)."""
     from fft_tpu.kernels.pallas_fft import _mix_factors
     if d % _DBLK or chunk % 8 or not 128 <= chunk <= 2048 or not nc >= 1:
         return False
-    return (nc <= 64 and _mix_factors(2 * chunk) is not None
-            and _fused_vmem_ok(nc, chunk, _DBLK, 2))
+    if nc > 64 or _mix_factors(2 * chunk) is None:
+        return False
+    return (_fused_vmem_ok(nc, chunk, _DBLK, 2)
+            or (fast and _fused_vmem_ok(nc, chunk, _DBLK, 2, True)))
+
+
+def _scr_bf16(nc: int, chunk: int, dblk: int, itemsize: int,
+              fast: bool) -> bool:
+    """bf16 spectra/accumulator scratch: only when fast mode needs it to
+    fit (adds ~1e-2-level rounding to the banded accumulation — inside the
+    bf16 activation budget, never used in exact mode)."""
+    return (fast and not _fused_vmem_ok(nc, chunk, dblk, itemsize)
+            and _fused_vmem_ok(nc, chunk, dblk, itemsize, True))
 
 
 def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
-                   itemsize: int = 4) -> bool:
+                   itemsize: int = 4, scr_bf16: bool = False) -> bool:
     """Models the Mosaic VMEM layout exactly enough to predict compile OOM
     (verified against the compiler's own report on v5e): every operator
     window gets TWO buffering levels, lane dims pad to 128, the hardware
@@ -341,12 +355,13 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
     f2p = _pad8(chunk + 1)
     n = nc * chunk
     ncg = nc * 32                                # lane count (cols <= 32)
+    scr_item = 2 if scr_bf16 else 4
     vin = (n + chunk) * dblk * itemsize * 2      # v window, double-buffered
     out = n * dblk * itemsize * 2                # y window
-    kblk = f2p * max(ncg, 128) * 4 * 2 * 2       # K slab planes per delta
+    kblk = f2p * max(ncg, 128) * scr_item * 2 * 2  # K slab planes per delta
     psel = nc * ncg * max(32, 128) * 4           # P selector (resident)
-    vscr = nc * f2p * dblk * 4 * 2               # V spectra scratch (f32)
-    acc = nc * f2p * dblk * 4 * 2                # accumulators
+    vscr = nc * f2p * dblk * scr_item * 2        # V spectra scratch
+    acc = nc * f2p * dblk * scr_item * 2         # accumulators
     if _staged_out(chunk):
         # staged inverse: no dense A windows; ~6 live (C, 2*dblk) f32
         # stage buffers inside the out loop instead
@@ -360,19 +375,26 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
     return total < 96 * 1024 * 1024
 
 
-def _pick_dblk(nc: int, chunk: int, d: int, itemsize: int = 4) -> int:
+def _pick_dblk(nc: int, chunk: int, d: int, itemsize: int = 4,
+               fast: bool = False) -> int:
     """Widest channel block that fits the VMEM budget.  Wider blocks mean
     fewer grid programs, one K expansion per (b, delta) instead of one per
-    channel block, and contiguous HBM reads of v."""
+    channel block, and contiguous HBM reads of v.  f32 scratch at any
+    width is preferred over the fast-mode bf16-scratch variant."""
     for dblk in (512, 256, 128):
         if d % dblk == 0 and dblk <= d and _fused_vmem_ok(nc, chunk, dblk,
                                                           itemsize):
             return dblk
+    if fast:
+        for dblk in (512, 256, 128):
+            if d % dblk == 0 and dblk <= d and _fused_vmem_ok(
+                    nc, chunk, dblk, itemsize, True):
+                return dblk
     return _DBLK
 
 
 def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
-                       dblk: int):
+                       dblk: int, scr_bf16: bool = False):
     import fft_tpu.kernels.pallas_fft as pf
     cst = pf._consts(2 * chunk)
     n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
@@ -381,6 +403,7 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
     ncg = nc * cols
     staged = _staged_out(chunk)
     b0r, b0i = cst["b0"].real, cst["b0"].imag
+    sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
 
     def kernel(v_ref, kr_ref, ki_ref, p_ref, e_ref, *rest):
         if staged:
@@ -403,11 +426,11 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
 
         @pl.when(delta == 0)
         def _():
-            zero = jnp.zeros((nc * f2p, dblk), jnp.float32)
+            zero = jnp.zeros((nc * f2p, dblk), sdt)
             vr_scr[:] = zero
             vi_scr[:] = zero
-            accr[:] = jnp.zeros((nc * f2p, dblk), jnp.float32)
-            acci[:] = jnp.zeros((nc * f2p, dblk), jnp.float32)
+            accr[:] = zero
+            acci[:] = zero
             w1r, w1i = w1r_ref[:], w1i_ref[:]
             twr, twi = twr_ref[:], twi_ref[:]
             w2r, w2i = w2r_ref[:], w2i_ref[:]
@@ -431,9 +454,9 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
                 x_nyq = jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
                                 keepdims=True)
                 base = s * f2p
-                vr_scr[pl.ds(base, n2)] = xr
-                vi_scr[pl.ds(base, n2)] = xi
-                vr_scr[pl.ds(base + n2, 1)] = x_nyq
+                vr_scr[pl.ds(base, n2)] = xr.astype(sdt)
+                vi_scr[pl.ds(base, n2)] = xi.astype(sdt)
+                vr_scr[pl.ds(base + n2, 1)] = x_nyq.astype(sdt)
                 return carry
 
             jax.lax.fori_loop(0, nc, seg_body, 0)
@@ -449,16 +472,18 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
 
         def delta_body(c, carry):
             pc = p_ref[pl.ds(c * ncg, ncg)]           # (ncG, cols) one-hot
-            gr = mm(mm(kslab_r, pc), e)               # (f2p, dblk)
+            gr = mm(mm(kslab_r, pc), e)               # (f2p, dblk) f32
             gi = mm(mm(kslab_i, pc), e)
             voff = (c - delta) * f2p
-            vr = vr_scr[pl.ds(voff, f2p)]
-            vi = vi_scr[pl.ds(voff, f2p)]
+            vr = vr_scr[pl.ds(voff, f2p)].astype(jnp.float32)
+            vi = vi_scr[pl.ds(voff, f2p)].astype(jnp.float32)
             aoff = c * f2p
-            accr[pl.ds(aoff, f2p)] = accr[pl.ds(aoff, f2p)] + (
-                gr * vr - gi * vi)
-            acci[pl.ds(aoff, f2p)] = acci[pl.ds(aoff, f2p)] + (
-                gr * vi + gi * vr)
+            accr[pl.ds(aoff, f2p)] = (
+                accr[pl.ds(aoff, f2p)].astype(jnp.float32)
+                + (gr * vr - gi * vi)).astype(sdt)
+            acci[pl.ds(aoff, f2p)] = (
+                acci[pl.ds(aoff, f2p)].astype(jnp.float32)
+                + (gr * vi + gi * vr)).astype(sdt)
             return carry
 
         jax.lax.fori_loop(delta, nc, delta_body, 0)
@@ -480,9 +505,10 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
 
                 def out_body(c, carry):
                     base = c * f2p
-                    mr = accr[pl.ds(base, n2)]
-                    mi = acci[pl.ds(base, n2)] * (1.0 - dc)
-                    m_nyq = accr[pl.ds(base + n2, 1)]
+                    mr = accr[pl.ds(base, n2)].astype(jnp.float32)
+                    mi = acci[pl.ds(base, n2)].astype(jnp.float32) * (
+                        1.0 - dc)
+                    m_nyq = accr[pl.ds(base + n2, 1)].astype(jnp.float32)
                     amr = airp * mr - aiip * mi
                     ami = airp * mi + aiip * mr
                     cmr = cirp * mr + ciip * mi       # C' (.) conj(M)
@@ -503,8 +529,10 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
                 ai = ai_ref[:]
 
                 def out_body(c, carry):
-                    y = (mm(ar, accr[pl.ds(c * f2p, f2p)])
-                         + mm(ai, acci[pl.ds(c * f2p, f2p)]))
+                    y = (mm(ar, accr[pl.ds(c * f2p, f2p)].astype(
+                            jnp.float32))
+                         + mm(ai, acci[pl.ds(c * f2p, f2p)].astype(
+                            jnp.float32)))
                     o_ref[0, pl.ds(c * chunk, chunk)] = y.astype(o_ref.dtype)
                     return carry
 
@@ -514,9 +542,10 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chunk", "cols", "fast", "interpret"))
+                   static_argnames=("chunk", "cols", "fast", "interpret",
+                                    "scr_bf16"))
 def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
-                       interpret=False):
+                       interpret=False, scr_bf16=None):
     import fft_tpu.kernels.pallas_fft as pf
     b, n, d = v.shape
     nc = n // chunk
@@ -524,8 +553,15 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
     assert kfr.shape == (b, nc, chunk + 1, ncg), (kfr.shape, b, nc, chunk)
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
-    dblk = _pick_dblk(nc, chunk, d, v.dtype.itemsize)
-    kernel, f2p = _make_fused_kernel(nc, chunk, cols, precision, dblk)
+    dblk = _pick_dblk(nc, chunk, d, v.dtype.itemsize, fast)
+    if scr_bf16 is None:
+        scr_bf16 = _scr_bf16(nc, chunk, dblk, v.dtype.itemsize, fast)
+    if scr_bf16:
+        kfr = kfr.astype(jnp.bfloat16)
+        kfi = kfi.astype(jnp.bfloat16)
+    kernel, f2p = _make_fused_kernel(nc, chunk, cols, precision, dblk,
+                                     scr_bf16)
+    sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
     cst = pf._consts(2 * chunk)
     n2 = cst["n2"]
     # The staged DFT's k = c + f1*kq output order IS natural order (row
@@ -621,10 +657,10 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
         out_specs=pl.BlockSpec((1, n, dblk), lambda i, j, dl: (i, 0, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
         ],
         interpret=interpret,
         **kwargs,

@@ -92,7 +92,7 @@ def segmented_causal_mix(
     fast = cfg.compute_dtype == "bfloat16"
 
     # --- fully-fused Pallas path ------------------------------------------
-    if (use_pallas and pc.fused_mix_supported(nc, chunk, d)
+    if (use_pallas and pc.fused_mix_supported(nc, chunk, d, fast)
             and pc.kf_spectra_supported(cfg.n_fft, chunk)
             and n == cfg.n_fft and (nc * g_groups) % 128 == 0):
         # kf kernel: gate -> kernel-segment spectra in one VMEM pass
@@ -113,7 +113,7 @@ def segmented_causal_mix(
                        precision=prec)                     # (B, j, F2, c*G)
 
     # --- fused Pallas mix (kf via matfft) ----------------------------------
-    if use_pallas and pc.fused_mix_supported(nc, chunk, d):
+    if use_pallas and pc.fused_mix_supported(nc, chunk, d, fast):
         y = pc.fused_causal_mix(v, jnp.real(kf_l), jnp.imag(kf_l),
                                 chunk, g_groups, fast, pc.INTERPRET)
         return y.astype(v.dtype)

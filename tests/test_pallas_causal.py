@@ -222,3 +222,23 @@ def test_fused_causal_bwd_staged_matches_jnp_adjoint():
                                jax.lax.Precision.HIGHEST)
     for a, b_ in zip(got, ref):
         assert rel_err(np.asarray(a), np.asarray(b_)) < 1e-5
+
+
+def test_fused_causal_bf16_scratch_matches_ref():
+    """The fast-mode bf16 spectra/accumulator scratch variant (what lets
+    nc=16 x chunk=2048 — seq 32k — fit VMEM) stays inside the bf16
+    activation budget."""
+    assert pc.fused_mix_supported(16, 2048, 512, fast=True)
+    assert not pc.fused_mix_supported(16, 2048, 512, fast=False)
+    rng = np.random.default_rng(13)
+    b, nc, chunk, d, cols = 1, 3, 512, 128, 4
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.bfloat16)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    got = pc._fused_causal_call(v, kfr, kfi, chunk=chunk, cols=cols,
+                                fast=True, interpret=True, scr_bf16=True)
+    ref = pc._fused_causal_ref(v, kfr, kfi, chunk, cols)
+    assert rel_err(np.asarray(got, np.float32),
+                   np.asarray(ref, np.float32)) < 3e-2

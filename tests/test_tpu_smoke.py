@@ -116,3 +116,76 @@ def test_causal_block_pallas_chip():
     got = np.asarray(jax.jit(
         lambda p, x: spectre_block_apply(p, cfg("pallas"), x))(params, x))
     assert _rel(got, ref) < 5e-2     # bf16 fast path vs bf16 matmul path
+
+
+@requires_tpu
+def test_kf_spectra_chip():
+    from fft_tpu.kernels import pallas_causal as pc
+    n_fft, chunk, L = 1024, 256, 128
+    assert pc.kf_spectra_supported(n_fft, chunk)
+    rng = np.random.default_rng(3)
+    f = n_fft // 2 + 1
+    gr = jnp.asarray(rng.standard_normal((2, f, L)), jnp.float32)
+    gi = jnp.asarray(rng.standard_normal((2, f, L)), jnp.float32)
+    kr, ki = pc.kf_spectra(gr, gi, n_fft, chunk, False, False)
+    rr, ri = jax.jit(pc._kf_spectra_ref, static_argnums=(2, 3))(
+        gr, gi, n_fft, chunk)
+    assert _rel(kr, rr) < 1e-5
+    assert _rel(ki, ri) < 1e-5
+
+
+@requires_tpu
+def test_fused_causal_v2_staged_out_chip():
+    """chunk >= 512: staged-inverse output stage (delay identity)."""
+    from fft_tpu.kernels import pallas_causal as pc
+    b, nc, chunk, d, cols = 1, 4, 512, 512, 32
+    assert pc._staged_out(chunk)
+    rng = np.random.default_rng(4)
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    y = pc.fused_causal_mix(v, kfr, kfi, chunk, cols, False, False)
+    ref = jax.jit(pc._fused_causal_ref,
+                  static_argnums=(3, 4))(v, kfr, kfi, chunk, cols)
+    assert _rel(y, ref) < 1e-5
+
+
+@requires_tpu
+def test_fused_causal_bwd_staged_chip():
+    from fft_tpu.kernels import pallas_causal as pc
+    b, nc, chunk, d, cols = 1, 4, 512, 512, 32
+    assert pc._pick_dblk_bwd(nc, chunk, d, cols) is not None
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    ybar = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
+    got = pc._fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
+                                    cols=cols, fast=False, interpret=False)
+    ref = jax.jit(pc._fused_causal_bwd,
+                  static_argnums=(4, 5, 6))(v, kfr, kfi, ybar, chunk, cols,
+                                            jax.lax.Precision.HIGHEST)
+    for g, r in zip(got, ref):
+        assert _rel(g, r) < 1e-5
+
+
+@requires_tpu
+def test_fused_causal_bf16_scratch_chip():
+    from fft_tpu.kernels import pallas_causal as pc
+    b, nc, chunk, d, cols = 1, 4, 512, 512, 32
+    rng = np.random.default_rng(6)
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.bfloat16)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    got = pc._fused_causal_call(v, kfr, kfi, chunk=chunk, cols=cols,
+                                fast=True, interpret=False, scr_bf16=True)
+    ref = jax.jit(pc._fused_causal_ref,
+                  static_argnums=(3, 4))(v, kfr, kfi, chunk, cols)
+    assert _rel(np.asarray(got, np.float32),
+                np.asarray(ref, np.float32)) < 3e-2
