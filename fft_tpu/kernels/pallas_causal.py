@@ -310,44 +310,8 @@ def _pad8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-def _staged_out(chunk: int) -> bool:
-    """Use the staged inverse for the output stage instead of the dense
-    (C, F2) partial-irFFT matrices.  The delay identity
-    ``irfft_2C(M)[C+t] == irfft_2C((-1)^k (.) M)[t]`` turns the partial
-    irFFT into a standard length-2C inverse whose staged form costs
-    O(C*(f1+f2)) per lane instead of the dense O(C*F2) — ~15x less MXU
-    work at chunk 2048 — and drops the two (C, F2) resident A matrices
-    (67 MiB of VMEM at chunk 2048) from the budget entirely.  Dense stays
-    for small chunks where the matrices are tiny and the staged form's
-    extra VPU passes dominate."""
-    return chunk >= 512
-
-
-def fused_mix_supported(nc: int, chunk: int, d: int,
-                        fast: bool = True) -> bool:
-    """VMEM-budget + plan predicate for the v2 fused causal kernel.
-    ``fast`` additionally admits shapes that only fit with the bf16
-    scratch variant (long-context 32k shapes)."""
-    from fft_tpu.kernels.pallas_fft import _mix_factors
-    if d % _DBLK or chunk % 8 or not 128 <= chunk <= 2048 or not nc >= 1:
-        return False
-    if nc > 64 or _mix_factors(2 * chunk) is None:
-        return False
-    return (_fused_vmem_ok(nc, chunk, _DBLK, 2)
-            or (fast and _fused_vmem_ok(nc, chunk, _DBLK, 2, True)))
-
-
-def _scr_bf16(nc: int, chunk: int, dblk: int, itemsize: int,
-              fast: bool) -> bool:
-    """bf16 spectra/accumulator scratch: only when fast mode needs it to
-    fit (adds ~1e-2-level rounding to the banded accumulation — inside the
-    bf16 activation budget, never used in exact mode)."""
-    return (fast and not _fused_vmem_ok(nc, chunk, dblk, itemsize)
-            and _fused_vmem_ok(nc, chunk, dblk, itemsize, True))
-
-
-def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
-                   itemsize: int = 4, scr_bf16: bool = False) -> bool:
+def _fused_vmem_ok(nc: int, chunk: int, dblk: int, itemsize: int = 4,
+                   scr_bf16: bool = False, staged: bool = False) -> bool:
     """Models the Mosaic VMEM layout exactly enough to predict compile OOM
     (verified against the compiler's own report on v5e): every operator
     window gets TWO buffering levels, lane dims pad to 128, the hardware
@@ -362,7 +326,7 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
     psel = nc * ncg * max(32, 128) * 4           # P selector (resident)
     vscr = nc * f2p * dblk * scr_item * 2        # V spectra scratch
     acc = nc * f2p * dblk * scr_item * 2         # accumulators
-    if _staged_out(chunk):
+    if staged:
         # staged inverse: no dense A windows; ~6 live (C, 2*dblk) f32
         # stage buffers inside the out loop instead
         amat = 6 * chunk * 2 * dblk * 4
@@ -375,33 +339,54 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int,
     return total < 96 * 1024 * 1024
 
 
-def _pick_dblk(nc: int, chunk: int, d: int, itemsize: int = 4,
-               fast: bool = False) -> int:
-    """Widest channel block that fits the VMEM budget.  Wider blocks mean
-    fewer grid programs, one K expansion per (b, delta) instead of one per
-    channel block, and contiguous HBM reads of v.  f32 scratch at any
-    width is preferred over the fast-mode bf16-scratch variant."""
-    for dblk in (512, 256, 128):
-        if d % dblk == 0 and dblk <= d and _fused_vmem_ok(nc, chunk, dblk,
-                                                          itemsize):
-            return dblk
-    if fast:
-        for dblk in (512, 256, 128):
-            if d % dblk == 0 and dblk <= d and _fused_vmem_ok(
-                    nc, chunk, dblk, itemsize, True):
-                return dblk
-    return _DBLK
+def _fused_plan(nc: int, chunk: int, d: int, itemsize: int = 2,
+                fast: bool = False):
+    """(dblk, staged, scr_bf16) for the v2 forward kernel, or None.
+
+    Preference order, all measured on v5e at seq 8k / chunk 2048:
+    1. exact f32 scratch before the fast-mode bf16-scratch variant;
+    2. DENSE partial-irFFT output stage before the staged inverse — the
+       dense (C, F2) matmuls carry ~15x more MXU FLOPs but the staged
+       form's extra VPU untangle passes and relayouts cost more in
+       practice (dense/128 3.08 ms vs staged/256 3.68 / staged/128 4.70);
+       staged's role is to FIT shapes whose dense A matrices blow the
+       VMEM budget (chunk 2048 at nc >= 8, the 16k/32k configs);
+    3. wider channel blocks first (fewer programs, one K expansion per
+       (b, delta) instead of per block, contiguous HBM reads of v).
+    """
+    scr_opts = (False,) if not fast else (False, True)
+    for scr in scr_opts:
+        for staged in (False, True):
+            for dblk in (512, 256, 128):
+                if d % dblk or dblk > d:
+                    continue
+                if _fused_vmem_ok(nc, chunk, dblk, itemsize, scr, staged):
+                    return dblk, staged, scr
+    return None
+
+
+def fused_mix_supported(nc: int, chunk: int, d: int,
+                        fast: bool = True) -> bool:
+    """VMEM-budget + plan predicate for the v2 fused causal kernel.
+    ``fast`` additionally admits shapes that only fit with the bf16
+    scratch variant (long-context 32k shapes)."""
+    from fft_tpu.kernels.pallas_fft import _mix_factors
+    if d % _DBLK or chunk % 8 or not 128 <= chunk <= 2048 or not nc >= 1:
+        return False
+    if nc > 64 or _mix_factors(2 * chunk) is None:
+        return False
+    return _fused_plan(nc, chunk, d, 2, fast) is not None
 
 
 def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
-                       dblk: int, scr_bf16: bool = False):
+                       dblk: int, scr_bf16: bool = False,
+                       staged: bool = False):
     import fft_tpu.kernels.pallas_fft as pf
     cst = pf._consts(2 * chunk)
     n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
     assert n2 == chunk
     f2p = _pad8(n2 + 1)
     ncg = nc * cols
-    staged = _staged_out(chunk)
     b0r, b0i = cst["b0"].real, cst["b0"].imag
     sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
 
@@ -543,9 +528,10 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "cols", "fast", "interpret",
-                                    "scr_bf16"))
+                                    "scr_bf16", "staged", "dblk"))
 def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
-                       interpret=False, scr_bf16=None):
+                       interpret=False, scr_bf16=None, staged=None,
+                       dblk=None):
     import fft_tpu.kernels.pallas_fft as pf
     b, n, d = v.shape
     nc = n // chunk
@@ -553,14 +539,18 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
     assert kfr.shape == (b, nc, chunk + 1, ncg), (kfr.shape, b, nc, chunk)
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
-    dblk = _pick_dblk(nc, chunk, d, v.dtype.itemsize, fast)
-    if scr_bf16 is None:
-        scr_bf16 = _scr_bf16(nc, chunk, dblk, v.dtype.itemsize, fast)
+    plan = _fused_plan(nc, chunk, d, v.dtype.itemsize, fast)
+    assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
+    p_dblk, p_staged, p_scr = plan if plan else (_DBLK, False, False)
+    # explicit kwargs (tests/benchmarks) override the planned variant
+    dblk = p_dblk if dblk is None else dblk
+    staged = p_staged if staged is None else staged
+    scr_bf16 = p_scr if scr_bf16 is None else scr_bf16
     if scr_bf16:
         kfr = kfr.astype(jnp.bfloat16)
         kfi = kfi.astype(jnp.bfloat16)
     kernel, f2p = _make_fused_kernel(nc, chunk, cols, precision, dblk,
-                                     scr_bf16)
+                                     scr_bf16, staged)
     sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
     cst = pf._consts(2 * chunk)
     n2 = cst["n2"]
@@ -571,7 +561,6 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
     # (K slabs are padded to f2p rows inside the kernel).
     assert np.array_equal(cst["perm"], np.arange(n2)), "non-natural DFT order"
 
-    staged = _staged_out(chunk)
     if staged:
         # (-1)^k delay fold into the inverse untangle rows (delay identity:
         # partial irFFT rows C..2C-1 == full irfft of the sign-flipped
@@ -816,8 +805,8 @@ def _fc_bwd(chunk, cols, fast, interpret, res, ybar):
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
     nc = v.shape[1] // chunk
-    dblk = _pick_dblk_bwd(nc, chunk, v.shape[-1], cols, v.dtype.itemsize)
-    if dblk:
+    plan = _bwd_plan(nc, chunk, v.shape[-1], cols, v.dtype.itemsize)
+    if plan:
         return _fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
                                       cols=cols, fast=fast,
                                       interpret=interpret)
@@ -849,33 +838,39 @@ fused_causal_mix.defvjp(_fc_fwd, _fc_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _pick_dblk_bwd(nc: int, chunk: int, d: int, cols: int,
-                   itemsize: int = 4):
-    """Channel-block width for the bwd kernel, or None if no width fits
-    its VMEM footprint (fall back to the jnp backward)."""
+def _bwd_vmem_ok(nc: int, chunk: int, d: int, cols: int, dblk: int,
+                 itemsize: int, staged: bool) -> bool:
     f2p = _pad8(chunk + 1)
     ncg = nc * cols
-    for dblk in (256, 128):
-        if d % dblk:
-            continue
-        n = nc * chunk
-        vin = (n + chunk) * dblk * itemsize * 2
-        ybin = n * dblk * itemsize * 2
-        vout = n * dblk * itemsize * 2
-        kblk = f2p * max(ncg, 128) * 4 * 2 * 2
-        kout = f2p * max(ncg, 128) * 4 * 2 * 2
-        scr = 6 * nc * f2p * dblk * 4        # vr,vi + R,I + vbr,vbi
-        e2 = nc * dblk * max(ncg, 128) * 4
-        if _staged_out(chunk):
-            # staged adjoint irFFT: no dense Madj windows (134 MiB at
-            # chunk 2048!), just ~6 live (C, 2*dblk) stage buffers
-            madj = 6 * chunk * 2 * dblk * 4
-        else:
-            madj = 2 * (2 * chunk) * f2p * 4 * 2
-        psel = nc * ncg * max(cols, 128) * 4
-        total = vin + ybin + vout + kblk + kout + scr + e2 + madj + psel
-        if total < 96 * 1024 * 1024:
-            return dblk
+    n = nc * chunk
+    vin = (n + chunk) * dblk * itemsize * 2
+    ybin = n * dblk * itemsize * 2
+    vout = n * dblk * itemsize * 2
+    kblk = f2p * max(ncg, 128) * 4 * 2 * 2
+    kout = f2p * max(ncg, 128) * 4 * 2 * 2
+    scr = 6 * nc * f2p * dblk * 4            # vr,vi + R,I + vbr,vbi
+    e2 = nc * dblk * max(ncg, 128) * 4
+    if staged:
+        # staged adjoint irFFT: no dense Madj windows (134 MiB at
+        # chunk 2048!), just ~6 live (C, 2*dblk) stage buffers
+        madj = 6 * chunk * 2 * dblk * 4
+    else:
+        madj = 2 * (2 * chunk) * f2p * 4 * 2
+    psel = nc * ncg * max(cols, 128) * 4
+    total = vin + ybin + vout + kblk + kout + scr + e2 + madj + psel
+    return total < 96 * 1024 * 1024
+
+
+def _bwd_plan(nc: int, chunk: int, d: int, cols: int, itemsize: int = 4):
+    """(dblk, staged) for the bwd kernel, or None (jnp-adjoint fallback).
+    Dense Madj preferred over the staged adjoint when it fits (same
+    VPU-vs-MXU tradeoff as the forward output stage)."""
+    for staged in (False, True):
+        for dblk in (256, 128):
+            if d % dblk:
+                continue
+            if _bwd_vmem_ok(nc, chunk, d, cols, dblk, itemsize, staged):
+                return dblk, staged
     return None
 
 
@@ -1101,7 +1096,7 @@ kf_spectra.defvjp(_kf_fwd, _kf_bwd)
 
 
 def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
-                           dblk: int):
+                           dblk: int, staged: bool = False):
     import fft_tpu.kernels.pallas_fft as pf
     cst = pf._consts(2 * chunk)
     n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
@@ -1109,7 +1104,6 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
     f2p = _pad8(n2 + 1)
     ncg = nc * cols
 
-    staged = _staged_out(chunk)
     b0r, b0i = cst["b0"].real, cst["b0"].imag
 
     def kernel(v_ref, yb_ref, kr_ref, ki_ref, p_ref, e_ref, e2_ref,
@@ -1290,9 +1284,10 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chunk", "cols", "fast", "interpret"))
+                   static_argnames=("chunk", "cols", "fast", "interpret",
+                                    "staged", "dblk"))
 def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
-                           interpret=False):
+                           interpret=False, staged=None, dblk=None):
     import fft_tpu.kernels.pallas_fft as pf
     b, n, d = v.shape
     nc = n // chunk
@@ -1301,9 +1296,13 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
     d_g = d // cols
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
-    dblk = _pick_dblk_bwd(nc, chunk, d, cols, v.dtype.itemsize)
-    assert dblk, (nc, chunk, d)
-    kernel, f2p = _make_fused_bwd_kernel(nc, chunk, cols, precision, dblk)
+    plan = _bwd_plan(nc, chunk, d, cols, v.dtype.itemsize)
+    assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
+    p_dblk, p_staged = plan if plan else (_DBLK, False)
+    dblk = p_dblk if dblk is None else dblk
+    staged = p_staged if staged is None else staged
+    kernel, f2p = _make_fused_bwd_kernel(nc, chunk, cols, precision, dblk,
+                                         staged)
     cst = pf._consts(2 * chunk)
     n2 = cst["n2"]
     assert np.array_equal(cst["perm"], np.arange(n2)), "non-natural DFT order"
@@ -1318,7 +1317,6 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
     s_col = s_rows[:, None]
     s_nyq = np.float32(((-1.0) ** n2) / (2 * chunk))   # coef_nyq = 1
 
-    staged = _staged_out(chunk)
     if staged:
         # adjoint_rfft(Z) = 2C * irfft_2C(w (.) Z); fold (2C * w) into the
         # inverse untangle rows (w = [1, 1/2..1/2] over bins 0..C-1;

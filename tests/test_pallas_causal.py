@@ -191,14 +191,15 @@ def test_fused_causal_v2_staged_out_matches_ref():
     (delay identity) instead of the dense (C, F2) partial-irFFT matrices."""
     rng = np.random.default_rng(11)
     b, nc, chunk, d, cols = 1, 3, 512, 128, 4
-    assert pc._staged_out(chunk)
     assert pc.fused_mix_supported(nc, chunk, d)
     v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
     kfr = jnp.asarray(
         rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
     kfi = jnp.asarray(
         rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
-    got = pc.fused_causal_mix(v, kfr, kfi, chunk, cols, False, True)
+    got = pc._fused_causal_call(v, kfr, kfi, chunk=chunk, cols=cols,
+                                fast=False, interpret=True, staged=True,
+                                dblk=128)
     ref = pc._fused_causal_ref(v, kfr, kfi, chunk, cols)
     assert rel_err(np.asarray(got), np.asarray(ref)) < 1e-5
 
@@ -208,8 +209,6 @@ def test_fused_causal_bwd_staged_matches_jnp_adjoint():
     512) vs the hand-derived jnp adjoint."""
     rng = np.random.default_rng(12)
     b, nc, chunk, d, cols = 1, 3, 512, 128, 4
-    assert pc._staged_out(chunk)
-    assert pc._pick_dblk_bwd(nc, chunk, d, cols) is not None
     v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
     kfr = jnp.asarray(
         rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
@@ -217,7 +216,8 @@ def test_fused_causal_bwd_staged_matches_jnp_adjoint():
         rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
     ybar = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
     got = pc._fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
-                                    cols=cols, fast=False, interpret=True)
+                                    cols=cols, fast=False, interpret=True,
+                                    staged=True, dblk=128)
     ref = pc._fused_causal_bwd(v, kfr, kfi, ybar, chunk, cols,
                                jax.lax.Precision.HIGHEST)
     for a, b_ in zip(got, ref):

@@ -139,14 +139,15 @@ def test_fused_causal_v2_staged_out_chip():
     """chunk >= 512: staged-inverse output stage (delay identity)."""
     from fft_tpu.kernels import pallas_causal as pc
     b, nc, chunk, d, cols = 1, 4, 512, 512, 32
-    assert pc._staged_out(chunk)
     rng = np.random.default_rng(4)
     v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
     kfr = jnp.asarray(
         rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
     kfi = jnp.asarray(
         rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
-    y = pc.fused_causal_mix(v, kfr, kfi, chunk, cols, False, False)
+    y = pc._fused_causal_call(v, kfr, kfi, chunk=chunk, cols=cols,
+                              fast=False, interpret=False, staged=True,
+                              dblk=128)
     ref = jax.jit(pc._fused_causal_ref,
                   static_argnums=(3, 4))(v, kfr, kfi, chunk, cols)
     assert _rel(y, ref) < 1e-5
@@ -156,7 +157,6 @@ def test_fused_causal_v2_staged_out_chip():
 def test_fused_causal_bwd_staged_chip():
     from fft_tpu.kernels import pallas_causal as pc
     b, nc, chunk, d, cols = 1, 4, 512, 512, 32
-    assert pc._pick_dblk_bwd(nc, chunk, d, cols) is not None
     rng = np.random.default_rng(5)
     v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
     kfr = jnp.asarray(
@@ -165,7 +165,8 @@ def test_fused_causal_bwd_staged_chip():
         rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
     ybar = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.float32)
     got = pc._fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
-                                    cols=cols, fast=False, interpret=False)
+                                    cols=cols, fast=False, interpret=False,
+                                    staged=True, dblk=128)
     ref = jax.jit(pc._fused_causal_bwd,
                   static_argnums=(4, 5, 6))(v, kfr, kfi, ybar, chunk, cols,
                                             jax.lax.Precision.HIGHEST)
