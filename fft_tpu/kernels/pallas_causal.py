@@ -331,7 +331,11 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int, itemsize: int = 4,
         # stage buffers inside the out loop instead
         amat = 6 * chunk * 2 * dblk * 4
     else:
-        amat = chunk * f2p * 4 * 2 * 2           # A_r/A_i windows
+        # A_r/A_i windows.  The x1.36 calibration is empirical: Mosaic's
+        # real allocation for the big resident dense matrices runs well
+        # above 2-level buffering (dense/128 at nc=4, chunk=2048 measured
+        # 116.6 MiB on chip where the unscaled model said 93.6).
+        amat = int(chunk * f2p * 4 * 2 * 2 * 1.36)
     total = vin + out + kblk + psel + vscr + acc + amat
     # 96 MB: the compiler's real allocation runs ~13% above this model
     # (measured 120.2 MB where the model said 106 at nc=4, chunk=2048),

@@ -92,9 +92,15 @@ def segmented_causal_mix(
     fast = cfg.compute_dtype == "bfloat16"
 
     # --- fully-fused Pallas path ------------------------------------------
+    # kf-kernel gate: measured on v5e (benchmarks/ablate_kf.py) — the
+    # kernel wins at n_fft 1024 (0.68 vs 1.17 ms) and 8192 (0.74 vs 0.94),
+    # is a wash at 4096, and LOSES at 2048 with 128 lanes (0.69 vs 0.50:
+    # too few programs to fill the chip); matfft keeps that case.
+    use_kf = (pc.kf_spectra_supported(cfg.n_fft, chunk)
+              and n == cfg.n_fft and (nc * g_groups) % 128 == 0
+              and (cfg.n_fft != 2048 or nc * g_groups >= 256))
     if (use_pallas and pc.fused_mix_supported(nc, chunk, d, fast)
-            and pc.kf_spectra_supported(cfg.n_fft, chunk)
-            and n == cfg.n_fft and (nc * g_groups) % 128 == 0):
+            and use_kf):
         # kf kernel: gate -> kernel-segment spectra in one VMEM pass
         # (replaces the length-N irfft + nc rfft_2C matfft pipeline, the
         # block's largest remaining cost at seq >= 4k), then v2: segment
