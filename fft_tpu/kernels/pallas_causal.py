@@ -311,14 +311,15 @@ def _pad8(x: int) -> int:
 
 
 def _fused_vmem_ok(nc: int, chunk: int, dblk: int, itemsize: int = 4,
-                   scr_bf16: bool = False, staged: bool = False) -> bool:
+                   scr_bf16: bool = False, staged: bool = False,
+                   cols: int = 32) -> bool:
     """Models the Mosaic VMEM layout exactly enough to predict compile OOM
     (verified against the compiler's own report on v5e): every operator
     window gets TWO buffering levels, lane dims pad to 128, the hardware
     has 128 MB; leave headroom for constants/spills."""
     f2p = _pad8(chunk + 1)
     n = nc * chunk
-    ncg = nc * 32                                # lane count (cols <= 32)
+    ncg = nc * cols                              # K lane count (H*G)
     scr_item = 2 if scr_bf16 else 4
     vin = (n + chunk) * dblk * itemsize * 2      # v window, double-buffered
     out = n * dblk * itemsize * 2                # y window
@@ -344,7 +345,7 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int, itemsize: int = 4,
 
 
 def _fused_plan(nc: int, chunk: int, d: int, itemsize: int = 2,
-                fast: bool = False):
+                fast: bool = False, cols: int = 32):
     """(dblk, staged, scr_bf16) for the v2 forward kernel, or None.
 
     Preference order, all measured on v5e at seq 8k / chunk 2048:
@@ -364,13 +365,14 @@ def _fused_plan(nc: int, chunk: int, d: int, itemsize: int = 2,
             for dblk in (512, 256, 128):
                 if d % dblk or dblk > d:
                     continue
-                if _fused_vmem_ok(nc, chunk, dblk, itemsize, scr, staged):
+                if _fused_vmem_ok(nc, chunk, dblk, itemsize, scr, staged,
+                                  cols):
                     return dblk, staged, scr
     return None
 
 
 def fused_mix_supported(nc: int, chunk: int, d: int,
-                        fast: bool = True) -> bool:
+                        fast: bool = True, cols: int = 32) -> bool:
     """VMEM-budget + plan predicate for the v2 fused causal kernel.
     ``fast`` additionally admits shapes that only fit with the bf16
     scratch variant (long-context 32k shapes)."""
@@ -379,7 +381,7 @@ def fused_mix_supported(nc: int, chunk: int, d: int,
         return False
     if nc > 64 or _mix_factors(2 * chunk) is None:
         return False
-    return _fused_plan(nc, chunk, d, 2, fast) is not None
+    return _fused_plan(nc, chunk, d, 2, fast, cols) is not None
 
 
 def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
@@ -543,7 +545,7 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
     assert kfr.shape == (b, nc, chunk + 1, ncg), (kfr.shape, b, nc, chunk)
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
-    plan = _fused_plan(nc, chunk, d, v.dtype.itemsize, fast)
+    plan = _fused_plan(nc, chunk, d, v.dtype.itemsize, fast, cols)
     assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
     p_dblk, p_staged, p_scr = plan if plan else (_DBLK, False, False)
     # explicit kwargs (tests/benchmarks) override the planned variant

@@ -99,7 +99,7 @@ def segmented_causal_mix(
     use_kf = (pc.kf_spectra_supported(cfg.n_fft, chunk)
               and n == cfg.n_fft and (nc * g_groups) % 128 == 0
               and (cfg.n_fft != 2048 or nc * g_groups >= 256))
-    if (use_pallas and pc.fused_mix_supported(nc, chunk, d, fast)
+    if (use_pallas and pc.fused_mix_supported(nc, chunk, d, fast, g_groups)
             and use_kf):
         # kf kernel: gate -> kernel-segment spectra in one VMEM pass
         # (replaces the length-N irfft + nc rfft_2C matfft pipeline, the
@@ -119,7 +119,7 @@ def segmented_causal_mix(
                        precision=prec)                     # (B, j, F2, c*G)
 
     # --- fused Pallas mix (kf via matfft) ----------------------------------
-    if use_pallas and pc.fused_mix_supported(nc, chunk, d, fast):
+    if use_pallas and pc.fused_mix_supported(nc, chunk, d, fast, g_groups):
         y = pc.fused_causal_mix(v, jnp.real(kf_l), jnp.imag(kf_l),
                                 chunk, g_groups, fast, pc.INTERPRET)
         return y.astype(v.dtype)
