@@ -165,6 +165,20 @@ def main():
     else:
         t_mix = float("nan")
 
+    # the non-mix side: LN -> MLP -> residual + out_proj (what both the
+    # SPECTRE and the attention block pay identically)
+    from fft_tpu.layers.common import gelu_exact
+
+    def mlp_side(p, h, c):
+        h = h + (c * 1e-20).astype(h.dtype)
+        y = linear_apply(p["mix"]["out_proj"], h)
+        z = layernorm_apply(p["ln2"], h + y)
+        z = linear_apply(p["mlp"]["fc2"],
+                         gelu_exact(linear_apply(p["mlp"]["fc1"], z)))
+        return (y + z).astype(jnp.float32).sum()[None]
+
+    t_mlp = slope(mlp_side, params, x, k_lo=3, k_hi=12)
+
     print(json.dumps({
         "seq": seq, "chunk": chunk, "batch": batch,
         "block_ms": round(t_block * 1e3, 3),
@@ -173,6 +187,7 @@ def main():
         "kf_irfft_ms": round(t_irfft * 1e3, 3),
         "kf_rfft_ms": round(t_rfft * 1e3, 3),
         "fused_mix_ms": round(t_mix * 1e3, 3),
+        "mlp_outproj_ms": round(t_mlp * 1e3, 3),
     }), flush=True)
 
 
