@@ -1060,6 +1060,173 @@ def _kf_spectra_call(g_r, g_i, *, n_fft, chunk, fast=False,
     return okr, oki
 
 
+# --- segment-rFFT kernel (kf part B) ---------------------------------------
+# For n_fft past the fused kf kernel's VMEM reach (16k/32k), the length-N
+# irfft stays matfft (cheap: 0.32 ms at 16k) but the per-segment rfft_2C
+# is HBM-bound in matfft (1.51 ms at 16k: the staged complex einsums
+# round-trip (B, nc, 2C, L) complex intermediates through HBM several
+# times).  This kernel reads each k_time lane-block once and emits all
+# segment spectra from VMEM; output segments are blocked (ncb at a time)
+# so the out window stays small at nc=16.
+
+
+# Measured on v5e (benchmarks/ablate_kf_seg.py): the kernel LOSES to the
+# matfft rfft_2C pipeline at n_fft 2048 (0.47 vs 0.31 ms — too few
+# sequential segments to amortize the per-program constant loads), is a
+# wash at 8192, and wins 1.5x/3.0x at 16384/32768 where the matfft
+# intermediates round-trip HBM.  Dispatch gates on KF_SEG_MIN_N.
+KF_SEG_MIN_N = 8192
+
+
+def kf_seg_rfft_supported(n_fft: int, chunk: int) -> bool:
+    import fft_tpu.kernels.pallas_fft as pf
+    if pf._mix_factors(2 * chunk) is None or chunk % 8 or n_fft % chunk:
+        return False
+    return n_fft <= 32768
+
+
+def _seg_ncb(nc: int, n: int) -> int:
+    """Segments per output block: full nc when the out window is small,
+    else the largest divisor keeping it ~16 MiB."""
+    for ncb in (nc, 8, 4, 2, 1):
+        if nc % ncb:
+            continue
+        out = 2 * ncb * (n // nc + 1) * _DBLK * 4 * 2
+        if out <= 18 * 1024 * 1024:
+            return ncb
+    return 1
+
+
+def _make_seg_rfft_kernel(chunk: int, ncb: int, precision):
+    import fft_tpu.kernels.pallas_fft as pf
+    fc = pf._consts(2 * chunk)
+    n2f, f1f, f2f = fc["n2"], fc["f1"], fc["f2"]
+    assert n2f == chunk
+    lanes = _DBLK
+
+    def kernel(kt_ref, w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref,
+               w2i_ref, afr_ref, afi_ref, bfr_ref, bfi_ref,
+               okr_ref, oki_ref):
+        cb = pl.program_id(2)
+        w1r, w1i = w1r_ref[:], w1i_ref[:]
+        twr, twi = twr_ref[:], twi_ref[:]
+        w2r, w2i = w2r_ref[:], w2i_ref[:]
+        afr, afi = afr_ref[:], afi_ref[:]
+        bfr, bfi = bfr_ref[:], bfi_ref[:]
+
+        def seg_body(j, carry):
+            seg = kt_ref[0, pl.ds((cb * ncb + j) * chunk, chunk)].astype(
+                jnp.float32)
+            zs = jnp.concatenate(
+                [seg, jnp.zeros((chunk, lanes), jnp.float32)],
+                axis=0).reshape(n2f, 2 * lanes)
+            fsr, fsi = pf.staged_dft(zs, None, w1r, w1i, twr, twi,
+                                     w2r, w2i, f1f, f2f, precision)
+            frr, fir = fsr[:, :lanes], fsr[:, lanes:]
+            fri, fii = fsi[:, :lanes], fsi[:, lanes:]
+            pr = frr - fii
+            pi = fri + fir
+            zcr = frr + fii
+            zci = fri - fir
+            xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+            xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+            x_nyq = jnp.sum(zs[:, :lanes] - zs[:, lanes:], axis=0,
+                            keepdims=True)
+            okr_ref[0, pl.ds(j, 1)] = jnp.concatenate(
+                [xr, x_nyq], axis=0)[None]
+            oki_ref[0, pl.ds(j, 1)] = jnp.concatenate(
+                [xi, jnp.zeros((1, lanes), jnp.float32)], axis=0)[None]
+            return carry
+
+        jax.lax.fori_loop(0, ncb, seg_body, 0, unroll=False)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "fast", "interpret"))
+def _kf_seg_rfft_call(kt, *, chunk, fast=False, interpret=False):
+    import fft_tpu.kernels.pallas_fft as pf
+    b, n, L = kt.shape
+    nc = n // chunk
+    assert nc * chunk == n and L % _DBLK == 0, (kt.shape, chunk)
+    precision = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
+    ncb = _seg_ncb(nc, n)
+    kernel = _make_seg_rfft_kernel(chunk, ncb, precision)
+    fc = pf._consts(2 * chunk)
+    f2 = chunk + 1
+
+    const_specs = []
+    const_args = []
+    for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                 "afr", "afi", "bfr", "bfi"):
+        arr = np.asarray(fc[name], np.float32)
+        const_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, c, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        const_args.append(jnp.asarray(arr))
+
+    grid = (b, L // _DBLK, nc // ncb)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    okr, oki = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nc, f2, L), jnp.float32),
+            jax.ShapeDtypeStruct((b, nc, f2, L), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, n, _DBLK), lambda i, j, c: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs,
+        out_specs=(
+            pl.BlockSpec((1, ncb, f2, _DBLK), lambda i, j, c: (i, c, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncb, f2, _DBLK), lambda i, j, c: (i, c, 0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(kt, *const_args)
+    return okr, oki
+
+
+def _kf_seg_rfft_ref(kt, chunk, precision=jax.lax.Precision.HIGHEST):
+    from fft_tpu.kernels.matfft import rfft_matmul
+    b, n, L = kt.shape
+    nc = n // chunk
+    k_seg = kt.reshape(b, nc, chunk, L)
+    kf = rfft_matmul(k_seg, 2 * chunk, axis=-2, precision=precision)
+    return jnp.real(kf), jnp.imag(kf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def kf_seg_rfft(kt, chunk: int, fast: bool = False,
+                interpret: bool = False):
+    """(kfr, kfi) (B, nc, F2, L) = rfft_2C of each zero-padded chunk of
+    ``kt (B, nc*chunk, L)`` — the kf pipeline's part B as one kernel."""
+    return _kf_seg_rfft_call(kt, chunk=chunk, fast=fast,
+                             interpret=interpret)
+
+
+def _ksr_fwd(kt, chunk, fast, interpret):
+    return kf_seg_rfft(kt, chunk, fast, interpret), kt
+
+
+def _ksr_bwd(chunk, fast, interpret, kt, kbar):
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
+    _, vjp = jax.vjp(lambda k: _kf_seg_rfft_ref(k, chunk, prec), kt)
+    return vjp(kbar)
+
+
+kf_seg_rfft.defvjp(_ksr_fwd, _ksr_bwd)
+
+
 def _kf_spectra_ref(g_r, g_i, n_fft, chunk,
                     precision=jax.lax.Precision.HIGHEST):
     """matfft composition of the same map (VJP + correctness tests)."""

@@ -114,15 +114,27 @@ def segmented_causal_mix(
 
     k_time = fftops.irfft(g_l, cfg.n_fft, axis=-2, impl=impl,
                           precision=prec)                  # (B, N, c*G)
+
+    # --- fused Pallas mix (kf segment spectra via kernel or matfft) --------
+    if use_pallas and pc.fused_mix_supported(nc, chunk, d, fast, g_groups):
+        if (n >= pc.KF_SEG_MIN_N and pc.kf_seg_rfft_supported(n, chunk)
+                and (nc * g_groups) % 128 == 0):
+            # one VMEM pass over k_time instead of nc complex rfft_2C
+            # einsums round-tripping (B, nc, 2C, L) intermediates via HBM
+            kfr, kfi = pc.kf_seg_rfft(k_time[:, :n], chunk, fast,
+                                      pc.INTERPRET)
+        else:
+            k_seg = k_time[:, :n].reshape(b, nc, chunk, nc * g_groups)
+            kf_l = fftops.rfft(k_seg, c2, axis=-2, impl=impl,
+                               precision=prec)             # (B, j, F2, c*G)
+            kfr, kfi = jnp.real(kf_l), jnp.imag(kf_l)
+        y = pc.fused_causal_mix(v, kfr, kfi, chunk, g_groups, fast,
+                                pc.INTERPRET)
+        return y.astype(v.dtype)
+
     k_seg = k_time[:, :n].reshape(b, nc, chunk, nc * g_groups)
     kf_l = fftops.rfft(k_seg, c2, axis=-2, impl=impl,
                        precision=prec)                     # (B, j, F2, c*G)
-
-    # --- fused Pallas mix (kf via matfft) ----------------------------------
-    if use_pallas and pc.fused_mix_supported(nc, chunk, d, fast, g_groups):
-        y = pc.fused_causal_mix(v, jnp.real(kf_l), jnp.imag(kf_l),
-                                chunk, g_groups, fast, pc.INTERPRET)
-        return y.astype(v.dtype)
 
     # fallback paths consume the chunk-major (B, c, j, F2, G) layout
     kf = jnp.transpose(kf_l.reshape(b, nc, f2, nc, g_groups),

@@ -54,12 +54,25 @@ def distributed_init(
     if _INITIALIZED:
         return
     explicit = coordinator_address is not None
-    auto_env = any(k in os.environ for k in (
+    # TPU_WORKER_HOSTNAMES with a single entry (e.g. "localhost" on a
+    # one-host dev box) is not a cluster.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    auto_env = ("," in hosts) or any(k in os.environ for k in (
         "COORDINATOR_ADDRESS", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
-        "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
+        "MEGASCALE_COORDINATOR_ADDRESS"))
     if not explicit and not auto_env:
         return                      # single-host: nothing to do
     if num_processes == 1:
+        return
+    from jax._src import xla_bridge
+    if xla_bridge.backends_are_initialized():
+        # Too late to wire up the multi-process runtime (jax.distributed
+        # must run before the first backend touch).  In-process callers
+        # (tests driving cli.main after using jax) get the single-process
+        # runtime they already have.
+        import warnings
+        warnings.warn("distributed_init: backend already initialized; "
+                      "running single-process")
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

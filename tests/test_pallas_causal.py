@@ -242,3 +242,54 @@ def test_fused_causal_bf16_scratch_matches_ref():
     ref = pc._fused_causal_ref(v, kfr, kfi, chunk, cols)
     assert rel_err(np.asarray(got, np.float32),
                    np.asarray(ref, np.float32)) < 3e-2
+
+
+def test_kf_seg_rfft_matches_ref():
+    """Segment-rFFT kernel (kf part B for n_fft past the fused kf bound)
+    vs the matfft composition."""
+    rng = np.random.default_rng(21)
+    n, chunk, L = 1024, 128, 128
+    assert pc.kf_seg_rfft_supported(n, chunk)
+    kt = jnp.asarray(rng.standard_normal((2, n, L)), jnp.float32)
+    kr, ki = pc.kf_seg_rfft(kt, chunk, False, True)
+    rr, ri = pc._kf_seg_rfft_ref(kt, chunk)
+    assert rel_err(np.asarray(kr), np.asarray(rr)) < 1e-5
+    assert rel_err(np.asarray(ki), np.asarray(ri)) < 1e-5
+
+
+def test_kf_seg_rfft_grads():
+    rng = np.random.default_rng(22)
+    n, chunk, L = 256, 64, 128
+    kt = jnp.asarray(rng.standard_normal((1, n, L)), jnp.float32)
+
+    def loss(fn):
+        return lambda a: sum(jnp.sum(o ** 2) for o in fn(a))
+
+    ga = jax.grad(loss(lambda a: pc.kf_seg_rfft(a, chunk, False, True)))(kt)
+    gb = jax.grad(loss(lambda a: pc._kf_seg_rfft_ref(a, chunk)))(kt)
+    assert rel_err(np.asarray(ga), np.asarray(gb)) < 1e-4
+
+
+def test_causal_multihead_seg_rfft_path_matches_matmul(monkeypatch):
+    """Layer-level dispatch where the fused mix engages but the fused kf
+    kernel does NOT (n_fft=2048 with nc*G=128 < 256 is excluded by the
+    measured-win gate), so the segment spectra go through kf_seg_rfft.
+    KF_SEG_MIN_N is forced down — at real sizes the seg-rfft kernel only
+    engages at n_fft >= 8192, too big for interpret mode."""
+    monkeypatch.setattr(pc, "KF_SEG_MIN_N", 0)
+
+    def cfg(impl):
+        return SpectreConfig(embed_dim=256, num_heads=8, n_fft=2048,
+                             pooling_type="mean", wavelet_on_rate=0.0,
+                             causal=True, causal_chunk=512,
+                             causal_impl="segmented", fft_impl=impl)
+    c = cfg("pallas")
+    nc = c.n_fft // c.causal_chunk
+    g = c.num_heads * c.num_groups
+    assert (nc * g) % 128 == 0 and nc * g < 256
+    assert pc.kf_seg_rfft_supported(c.n_fft, c.causal_chunk)
+    params = spectre_multihead_init(jax.random.key(23), cfg("matmul"))
+    x = jax.random.normal(jax.random.key(24), (1, 2048, 256))
+    ref = np.asarray(spectre_multihead_apply(params, cfg("matmul"), x))
+    got = np.asarray(spectre_multihead_apply(params, c, x))
+    assert rel_err(got, ref) < 1e-5
