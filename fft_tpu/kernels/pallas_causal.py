@@ -811,7 +811,7 @@ def _fc_bwd(chunk, cols, fast, interpret, res, ybar):
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
     nc = v.shape[1] // chunk
-    plan = _bwd_plan(nc, chunk, v.shape[-1], cols, v.dtype.itemsize)
+    plan = _bwd_plan(nc, chunk, v.shape[-1], cols, v.dtype.itemsize, fast)
     if plan:
         return _fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
                                       cols=cols, fast=fast,
@@ -845,16 +845,18 @@ fused_causal_mix.defvjp(_fc_fwd, _fc_bwd)
 
 
 def _bwd_vmem_ok(nc: int, chunk: int, d: int, cols: int, dblk: int,
-                 itemsize: int, staged: bool) -> bool:
+                 itemsize: int, staged: bool,
+                 scr_bf16: bool = False) -> bool:
     f2p = _pad8(chunk + 1)
     ncg = nc * cols
     n = nc * chunk
+    scr_item = 2 if scr_bf16 else 4
     vin = (n + chunk) * dblk * itemsize * 2
     ybin = n * dblk * itemsize * 2
     vout = n * dblk * itemsize * 2
-    kblk = f2p * max(ncg, 128) * 4 * 2 * 2
-    kout = f2p * max(ncg, 128) * 4 * 2 * 2
-    scr = 6 * nc * f2p * dblk * 4            # vr,vi + R,I + vbr,vbi
+    kblk = f2p * max(ncg, 128) * scr_item * 2 * 2   # K cast to bf16 w/ scr
+    kout = f2p * max(ncg, 128) * scr_item * 2 * 2   # K-grad partials too
+    scr = 6 * nc * f2p * dblk * scr_item     # vr,vi + R,I + vbr,vbi
     e2 = nc * dblk * max(ncg, 128) * 4
     if staged:
         # staged adjoint irFFT: no dense Madj windows (134 MiB at
@@ -867,16 +869,23 @@ def _bwd_vmem_ok(nc: int, chunk: int, d: int, cols: int, dblk: int,
     return total < 96 * 1024 * 1024
 
 
-def _bwd_plan(nc: int, chunk: int, d: int, cols: int, itemsize: int = 4):
-    """(dblk, staged) for the bwd kernel, or None (jnp-adjoint fallback).
-    Dense Madj preferred over the staged adjoint when it fits (same
-    VPU-vs-MXU tradeoff as the forward output stage)."""
-    for staged in (False, True):
-        for dblk in (256, 128):
-            if d % dblk:
-                continue
-            if _bwd_vmem_ok(nc, chunk, d, cols, dblk, itemsize, staged):
-                return dblk, staged
+def _bwd_plan(nc: int, chunk: int, d: int, cols: int, itemsize: int = 4,
+              fast: bool = False):
+    """(dblk, staged, scr_bf16) for the bwd kernel, or None (jnp-adjoint
+    fallback).  Dense Madj preferred over the staged adjoint when it fits
+    (same VPU-vs-MXU tradeoff as the forward output stage); the fast-mode
+    bf16 scratch variant (same policy as the forward plan) exists to FIT
+    the long-context training shapes — (8, 2048) at d=1024 is the 350M
+    seq-16k config, which otherwise falls to the ~4x-slower jnp adjoint."""
+    scr_opts = (False,) if not fast else (False, True)
+    for scr in scr_opts:
+        for staged in (False, True):
+            for dblk in (256, 128):
+                if d % dblk:
+                    continue
+                if _bwd_vmem_ok(nc, chunk, d, cols, dblk, itemsize, staged,
+                                scr):
+                    return dblk, staged, scr
     return None
 
 
@@ -1269,13 +1278,15 @@ kf_spectra.defvjp(_kf_fwd, _kf_bwd)
 
 
 def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
-                           dblk: int, staged: bool = False):
+                           dblk: int, staged: bool = False,
+                           scr_bf16: bool = False):
     import fft_tpu.kernels.pallas_fft as pf
     cst = pf._consts(2 * chunk)
     n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
     assert n2 == chunk
     f2p = _pad8(n2 + 1)
     ncg = nc * cols
+    sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
 
     b0r, b0i = cst["b0"].real, cst["b0"].imag
 
@@ -1305,7 +1316,7 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
 
         @pl.when(delta == 0)
         def _():
-            zero1 = jnp.zeros((nc * f2p, dblk), jnp.float32)
+            zero1 = jnp.zeros((nc * f2p, dblk), sdt)
             vr_scr[:] = zero1   # pad rows must be 0, not garbage (0*nan)
             vi_scr[:] = zero1
             vbr[:] = zero1
@@ -1338,9 +1349,9 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
                 xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
                 xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
                 base = s * f2p
-                vr_scr[pl.ds(base, n2)] = xr
-                vi_scr[pl.ds(base, n2)] = xi
-                vr_scr[pl.ds(base + n2, 1)] = x_nyq
+                vr_scr[pl.ds(base, n2)] = xr.astype(sdt)
+                vi_scr[pl.ds(base, n2)] = xi.astype(sdt)
+                vr_scr[pl.ds(base + n2, 1)] = x_nyq.astype(sdt)
                 return carry
 
             jax.lax.fori_loop(0, nc, seg_body, 0)
@@ -1359,10 +1370,10 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
                 rr = sfr * pr - sfi * pi + sgr * zcr - sgi * zci
                 ri = sfr * pi + sfi * pr + sgr * zci + sgi * zcr
                 base = c * f2p
-                rbar[pl.ds(base, n2)] = rr
-                ibar[pl.ds(base, n2)] = ri
-                rbar[pl.ds(base + n2, 1)] = x_nyq * s_nyq
-                ibar[pl.ds(base + n2, 1)] = jnp.zeros((1, dblk), jnp.float32)
+                rbar[pl.ds(base, n2)] = rr.astype(sdt)
+                ibar[pl.ds(base, n2)] = ri.astype(sdt)
+                rbar[pl.ds(base + n2, 1)] = (x_nyq * s_nyq).astype(sdt)
+                ibar[pl.ds(base + n2, 1)] = jnp.zeros((1, dblk), sdt)
                 return carry
 
             jax.lax.fori_loop(0, nc, acc_body, 0)
@@ -1374,11 +1385,11 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
         def delta_body(c, carry):
             kbr, kbi = carry
             roff = c * f2p
-            rr = rbar[pl.ds(roff, f2p)]
-            ri = ibar[pl.ds(roff, f2p)]
+            rr = rbar[pl.ds(roff, f2p)].astype(jnp.float32)
+            ri = ibar[pl.ds(roff, f2p)].astype(jnp.float32)
             voff = (c - delta) * f2p
-            vr = vr_scr[pl.ds(voff, f2p)]
-            vi = vi_scr[pl.ds(voff, f2p)]
+            vr = vr_scr[pl.ds(voff, f2p)].astype(jnp.float32)
+            vi = vi_scr[pl.ds(voff, f2p)].astype(jnp.float32)
             # K grads: group-reduce to this chunk's column block
             e2c = e2_ref[0, pl.ds(c, 1)][0]            # (dblk, ncG)
             kbr = kbr + mm(rr * vr + ri * vi, e2c)
@@ -1388,17 +1399,22 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
             gr = mm(mm(kslab_r, pc), e)
             gi = mm(mm(kslab_i, pc), e)
             joff = (c - delta) * f2p
-            vbr[pl.ds(joff, f2p)] = vbr[pl.ds(joff, f2p)] + (
-                gr * rr + gi * ri)
-            vbi[pl.ds(joff, f2p)] = vbi[pl.ds(joff, f2p)] + (
-                gr * ri - gi * rr)
+            vbr[pl.ds(joff, f2p)] = (
+                vbr[pl.ds(joff, f2p)].astype(jnp.float32)
+                + (gr * rr + gi * ri)).astype(sdt)
+            vbi[pl.ds(joff, f2p)] = (
+                vbi[pl.ds(joff, f2p)].astype(jnp.float32)
+                + (gr * ri - gi * rr)).astype(sdt)
             return kbr, kbi
 
         zero_kb = jnp.zeros((f2p, ncg), jnp.float32)
         kbr, kbi = jax.lax.fori_loop(delta, nc, delta_body,
                                      (zero_kb, zero_kb))
-        okr_ref[0, 0, 0] = kbr[:n2 + 1]
-        oki_ref[0, 0, 0] = kbi[:n2 + 1]
+        # accumulation stays f32 in-register; only the per-(dblk, delta)
+        # PARTIAL is rounded to the scratch dtype — XLA sums the d/dblk
+        # partials in f32 afterwards (fast-mode error ~1e-3, in budget)
+        okr_ref[0, 0, 0] = kbr[:n2 + 1].astype(okr_ref.dtype)
+        oki_ref[0, 0, 0] = kbi[:n2 + 1].astype(oki_ref.dtype)
 
         @pl.when(delta == nc - 1)
         def _():
@@ -1420,9 +1436,10 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
                 def j_body(i, carry):
                     j = nc - 1 - i
                     base = j * f2p
-                    mr = vbr[pl.ds(base, n2)]
-                    mi_ = vbi[pl.ds(base, n2)] * (1.0 - dc)
-                    m_nyq = vbr[pl.ds(base + n2, 1)]
+                    mr = vbr[pl.ds(base, n2)].astype(jnp.float32)
+                    mi_ = vbi[pl.ds(base, n2)].astype(jnp.float32) * (
+                        1.0 - dc)
+                    m_nyq = vbr[pl.ds(base + n2, 1)].astype(jnp.float32)
                     amr = airw * mr - aiiw * mi_
                     ami = airw * mi_ + aiiw * mr
                     cmr = cirw * mr + ciiw * mi_       # C' (.) conj(M)
@@ -1444,8 +1461,10 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
 
                 def j_body(i, carry):
                     j = nc - 1 - i
-                    sb = (mm(mar, vbr[pl.ds(j * f2p, f2p)])
-                          + mm(mai, vbi[pl.ds(j * f2p, f2p)]))  # (2C, dblk)
+                    sb = (mm(mar, vbr[pl.ds(j * f2p, f2p)].astype(
+                              jnp.float32))
+                          + mm(mai, vbi[pl.ds(j * f2p, f2p)].astype(
+                              jnp.float32)))                    # (2C, dblk)
                     ov_ref[0, pl.ds(j * chunk, chunk)] = (
                         sb[chunk:] + carry).astype(ov_ref.dtype)
                     return sb[:chunk]
@@ -1458,9 +1477,10 @@ def _make_fused_bwd_kernel(nc: int, chunk: int, cols: int, precision,
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "cols", "fast", "interpret",
-                                    "staged", "dblk"))
+                                    "staged", "dblk", "scr_bf16"))
 def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
-                           interpret=False, staged=None, dblk=None):
+                           interpret=False, staged=None, dblk=None,
+                           scr_bf16=None):
     import fft_tpu.kernels.pallas_fft as pf
     b, n, d = v.shape
     nc = n // chunk
@@ -1469,13 +1489,21 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
     d_g = d // cols
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
-    plan = _bwd_plan(nc, chunk, d, cols, v.dtype.itemsize)
+    plan = _bwd_plan(nc, chunk, d, cols, v.dtype.itemsize, fast)
     assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
-    p_dblk, p_staged = plan if plan else (_DBLK, False)
+    p_dblk, p_staged, p_scr = plan if plan else (_DBLK, False, False)
     dblk = p_dblk if dblk is None else dblk
     staged = p_staged if staged is None else staged
+    scr_bf16 = p_scr if scr_bf16 is None else scr_bf16
+    # cotangents must keep the PRIMAL K dtype (f32) even when the kernel
+    # consumes a bf16 copy — jax.vjp rejects dtype-mismatched cotangents
+    k_dtype = kfr.dtype
+    if scr_bf16:
+        kfr = kfr.astype(jnp.bfloat16)
+        kfi = kfi.astype(jnp.bfloat16)
+    sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
     kernel, f2p = _make_fused_bwd_kernel(nc, chunk, cols, precision, dblk,
-                                         staged)
+                                         staged, scr_bf16)
     cst = pf._consts(2 * chunk)
     n2 = cst["n2"]
     assert np.array_equal(cst["perm"], np.arange(n2)), "non-natural DFT order"
@@ -1570,8 +1598,8 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((b, n, d), v.dtype),
-            jax.ShapeDtypeStruct((b, njb, nc, f2, ncg), jnp.float32),
-            jax.ShapeDtypeStruct((b, njb, nc, f2, ncg), jnp.float32),
+            jax.ShapeDtypeStruct((b, njb, nc, f2, ncg), sdt),
+            jax.ShapeDtypeStruct((b, njb, nc, f2, ncg), sdt),
         ),
         in_specs=[
             pl.BlockSpec((1, n + chunk, dblk), lambda i, j, dl: (i, 0, j),
@@ -1600,17 +1628,17 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
-            pltpu.VMEM((nc * f2p, dblk), jnp.float32),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
         ],
         interpret=interpret,
         **kwargs,
     )(v_pad, ybar.astype(v.dtype), kfr, kfi, jnp.asarray(p_sel),
       jnp.asarray(e), jnp.asarray(e2), *const_args)
-    kfr_bar = jnp.sum(okr, axis=1).astype(kfr.dtype)
-    kfi_bar = jnp.sum(oki, axis=1).astype(kfi.dtype)
+    kfr_bar = jnp.sum(okr.astype(jnp.float32), axis=1).astype(k_dtype)
+    kfi_bar = jnp.sum(oki.astype(jnp.float32), axis=1).astype(k_dtype)
     return ov, kfr_bar, kfi_bar

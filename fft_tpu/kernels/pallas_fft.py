@@ -220,13 +220,15 @@ def _direct_consts(n_fft: int):
 
 
 def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
+    f_half = n_fft // 2 + 1
+
     def kernel(*refs):
         if with_memory:
             (v_ref, gr_ref, gi_ref, e_ref, mr_ref, mi_ref,
-             dmr_ref, dmi_ref, ar_ref, ai_ref) = refs[:-1]
+             dm_ref, aa_ref) = refs[:-1]
         else:
             (v_ref, gr_ref, gi_ref, e_ref,
-             dmr_ref, dmi_ref, ar_ref, ai_ref) = refs[:-1]
+             dm_ref, aa_ref) = refs[:-1]
         o_ref = refs[-1]
 
         def mm(a, b):
@@ -235,8 +237,12 @@ def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
                 preferred_element_type=jnp.float32, precision=precision)
 
         v = v_ref[0].astype(jnp.float32)               # (N, dblk)
-        xr = mm(dmr_ref[:], v)                         # (F, dblk)
-        xi = mm(dmi_ref[:], v)
+        # ONE stacked matmul gives Re and Im rows together ([Mr; Mi] @ v);
+        # likewise the inverse contracts [Ar | Ai] @ [mxr; mxi] in one call
+        # — half the MXU dispatches of the r/i-split formulation (the VPU
+        # gate multiply between them no longer drains the MXU pipe twice)
+        x = mm(dm_ref[:], v)                           # (2F, dblk)
+        xr, xi = x[:f_half], x[f_half:]
 
         e_mat = e_ref[0]                               # (HG, dblk) one-hot
 
@@ -252,7 +258,7 @@ def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
         if with_memory:
             mxr = mxr + mr_ref[:]
             mxi = mxi + mi_ref[:]
-        y = mm(ar_ref[:], mxr) + mm(ai_ref[:], mxi)    # (N, dblk)
+        y = mm(aa_ref[:], jnp.concatenate([mxr, mxi], axis=0))  # (N, dblk)
         o_ref[0] = y.astype(o_ref.dtype)
 
     return kernel
@@ -273,6 +279,8 @@ def _direct_mix_call(v, g_r, g_i, mem_r, mem_i, *, n_fft, interpret=False,
     precision = jax.lax.Precision.DEFAULT if fast else _PREC
     kernel = _make_direct_kernel(n_fft, with_memory, precision, dblk)
     mr, mi, ar, ai = _direct_consts(n_fft)
+    dm = np.concatenate([mr, mi], axis=0)              # (2F, N)
+    aa = np.concatenate([ar, ai], axis=1)              # (N, 2F)
 
     grid = (b, d // dblk)
     hg = g_r.shape[-1]
@@ -301,7 +309,7 @@ def _direct_mix_call(v, g_r, g_i, mem_r, mem_i, *, n_fft, interpret=False,
                          memory_space=pltpu.VMEM),
         ]
         args += [mem_r, mem_i]
-    for arr in (mr, mi, ar, ai):
+    for arr in (dm, aa):
         data_specs.append(pl.BlockSpec(
             arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM))
         args.append(jnp.asarray(arr))

@@ -244,6 +244,34 @@ def test_fused_causal_bf16_scratch_matches_ref():
                    np.asarray(ref, np.float32)) < 3e-2
 
 
+def test_fused_causal_bwd_bf16_scratch_matches_jnp_adjoint():
+    """The fast-mode bf16-scratch bwd variant (what lets the 350M seq-16k
+    training shape — nc=8, chunk=2048, d=1024 — run the fused bwd kernel
+    instead of the ~4x jnp adjoint) stays inside the bf16 grad budget."""
+    assert pc._bwd_plan(8, 2048, 1024, 64, 2, True) is not None
+    assert pc._bwd_plan(8, 2048, 1024, 64, 2, False) is None
+    rng = np.random.default_rng(14)
+    b, nc, chunk, d, cols = 1, 3, 512, 128, 4
+    v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)), jnp.bfloat16)
+    kfr = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    kfi = jnp.asarray(
+        rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+    ybar = jnp.asarray(rng.standard_normal((b, nc * chunk, d)),
+                       jnp.bfloat16)
+    got = pc._fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
+                                    cols=cols, fast=True, interpret=True,
+                                    staged=True, dblk=128, scr_bf16=True)
+    ref = pc._fused_causal_bwd(v, kfr, kfi, ybar, chunk, cols,
+                               jax.lax.Precision.HIGHEST)
+    # cotangents must keep the PRIMAL dtypes (the kernel's bf16 K copy must
+    # not leak into the K grads — jax.vjp rejects mismatched cotangents)
+    assert got[0].dtype == v.dtype and got[1].dtype == kfr.dtype
+    for a, b_ in zip(got, ref):
+        assert rel_err(np.asarray(a, np.float32),
+                       np.asarray(b_, np.float32)) < 3e-2
+
+
 def test_kf_seg_rfft_matches_ref():
     """Segment-rFFT kernel (kf part B for n_fft past the fused kf bound)
     vs the matfft composition."""
