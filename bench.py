@@ -1,10 +1,15 @@
 """Headline benchmark — prints ONE JSON line.
 
 Metric: fwd+bwd tokens/sec/chip of a single SPECTRE block at BASELINE
-config 1 (B=8, L=1024, d_model=512, reference defaults).  Baseline is the
+config 1 shapes (B=8, L=1024, d_model=512).  Measured config: mean
+pooling, wavelet_on_rate=0.0, memory_size=16, bf16 compute, fused Pallas
+mix — the framework's production flagship semantics.  The anchor is the
 reference PyTorch implementation measured in BASELINE.md: 1726 ms/iter ==
-4,747 tok/s (fwd+bwd, fp32, the only runnable first-party anchor — the
-reference publishes no numbers).
+4,747 tok/s (fwd+bwd, fp32, DCT-fallback-to-mean pooling,
+wavelet_on_rate=0.1 — the only runnable first-party anchor; the reference
+publishes no numbers).  The configs differ (wavelet on vs off): the
+anchor is a scale reference, not a same-config A/B — see
+benchmarks/RESULTS.md for same-config comparisons vs attention.
 
 Methodology: the TPU here sits behind an async relay where
 ``block_until_ready`` returns early and every dispatch pays a ~30-40 ms

@@ -381,7 +381,8 @@ def fused_mix_supported(nc: int, chunk: int, d: int,
         return False
     if nc > 64 or _mix_factors(2 * chunk) is None:
         return False
-    return _fused_plan(nc, chunk, d, 2, fast, cols) is not None
+    return (_fused_plan(nc, chunk, d, 2, fast, cols) is not None
+            or _fused_plan_v3(nc, chunk, d, 2, fast, cols) is not None)
 
 
 def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
@@ -546,6 +547,14 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
     plan = _fused_plan(nc, chunk, d, v.dtype.itemsize, fast, cols)
+    if plan is None and dblk is None:
+        # long-context shapes the v2 resident layout can't hold fall to
+        # the grid-banded v3 kernel (same math, ~3x smaller VMEM)
+        if _fused_plan_v3(nc, chunk, d, v.dtype.itemsize, fast,
+                          cols) is not None:
+            return _fused_causal_call_v3(v, kfr, kfi, chunk=chunk,
+                                         cols=cols, fast=fast,
+                                         interpret=interpret)
     assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
     p_dblk, p_staged, p_scr = plan if plan else (_DBLK, False, False)
     # explicit kwargs (tests/benchmarks) override the planned variant
@@ -660,6 +669,328 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
         interpret=interpret,
         **kwargs,
     )(v_pad, kfr, kfi, jnp.asarray(p_sel), jnp.asarray(e), *const_args)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# v3 fused forward — (c, delta) moved from in-kernel loops onto the GRID.
+#
+# The v2 kernel keeps the whole v window, all K slabs' worth of banded
+# accumulators and the full output resident per program, so its VMEM
+# footprint scales ~3x with n = nc*chunk and the long-context model shapes
+# (nc=16 @ d=1024 — the 350M seq-32k config; nc=32 — 64k) never fit.  Here
+# each grid step (b, j, c, delta) touches ONLY:
+#   - two 1-chunk v windows (segment c, FFT'd once at delta==0),
+#   - one (F2, 128)-lane K block for (delta, chunk-group c),
+#   - a single-chunk f32 accumulator (re-zeroed per c),
+#   - a single-chunk output window (flushed at delta==c).
+# Only the segment-spectra scratch still scales with nc, so seq 32k at
+# d=1024 fits with EXACT f32 scratch (~58 MB modeled) and 64k in fast
+# mode.  Skipped steps (delta > c) keep every block index unchanged, so
+# Mosaic issues no DMAs for them.
+# ---------------------------------------------------------------------------
+
+
+def _v3_kb(nc: int, cols: int):
+    """(kb, gpb): K lane-block width and chunk-groups per block."""
+    ncg = nc * cols
+    if cols % 128 == 0:
+        return cols, 1
+    if ncg <= 128:
+        return ncg, nc
+    if ncg % 128 == 0 and 128 % cols == 0:
+        return 128, 128 // cols
+    return None, None
+
+
+def _v3_vmem_ok(nc: int, chunk: int, dblk: int, itemsize: int,
+                scr_bf16: bool, staged: bool, cols: int) -> bool:
+    kb, _ = _v3_kb(nc, cols)
+    if kb is None:
+        return False
+    f2p = _pad8(chunk + 1)
+    scr_item = 2 if scr_bf16 else 4
+    vwin = 2 * chunk * dblk * itemsize * 2       # two 1-chunk windows, dbuf
+    out = chunk * dblk * itemsize * 2
+    kblk = f2p * max(kb, 128) * scr_item * 2 * 2
+    vscr = 2 * nc * f2p * dblk * scr_item
+    acc = 2 * f2p * dblk * 4
+    if staged:
+        amat = 6 * chunk * 2 * dblk * 4
+    else:
+        amat = int(chunk * f2p * 4 * 2 * 2 * 1.36)
+    total = vwin + out + kblk + vscr + acc + amat + 4 * 1024 * 1024
+    return total < 96 * 1024 * 1024
+
+
+def _fused_plan_v3(nc: int, chunk: int, d: int, itemsize: int = 2,
+                   fast: bool = False, cols: int = 32):
+    """(dblk, staged, scr_bf16) for the v3 kernel, or None.  Same
+    preference order as _fused_plan (f32 > bf16 scratch, dense > staged,
+    wide > narrow dblk); used only where the v2 plan comes up empty."""
+    from fft_tpu.kernels.pallas_fft import _mix_factors
+    if (d % _DBLK or chunk % 8 or not 128 <= chunk <= 2048
+            or not 1 <= nc <= 64 or _mix_factors(2 * chunk) is None):
+        return None
+    scr_opts = (False,) if not fast else (False, True)
+    for scr in scr_opts:
+        for staged in (False, True):
+            for dblk in (512, 256, 128):
+                if d % dblk or dblk > d:
+                    continue
+                if _v3_vmem_ok(nc, chunk, dblk, itemsize, scr, staged,
+                               cols):
+                    return dblk, staged, scr
+    return None
+
+
+def _make_fused_kernel_v3(nc: int, chunk: int, cols: int, precision,
+                          dblk: int, scr_bf16: bool = False,
+                          staged: bool = False):
+    import fft_tpu.kernels.pallas_fft as pf
+    cst = pf._consts(2 * chunk)
+    n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
+    assert n2 == chunk
+    f2p = _pad8(n2 + 1)
+    kb, gpb = _v3_kb(nc, cols)
+    b0r, b0i = cst["b0"].real, cst["b0"].imag
+    sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
+
+    def kernel(vlo_ref, vhi_ref, kr_ref, ki_ref, s_ref, e_ref, *rest):
+        if staged:
+            (i1r_ref, i1i_ref, itwr_ref, itwi_ref, i2r_ref, i2i_ref,
+             airp_ref, aiip_ref, cirp_ref, ciip_ref, dc_ref,
+             w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref,
+             o_ref, vr_scr, vi_scr, accr, acci) = rest
+        else:
+            (ar_ref, ai_ref,
+             w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref,
+             o_ref, vr_scr, vi_scr, accr, acci) = rest
+        c = pl.program_id(2)
+        delta = pl.program_id(3)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        @pl.when(delta == 0)
+        def _():
+            # FFT segment c = [prev chunk ; this chunk] into scratch row
+            # block c (each segment is transformed exactly once — its
+            # first use is (c, delta=0)), and zero this c's accumulator.
+            accr[:] = jnp.zeros((f2p, dblk), jnp.float32)
+            acci[:] = jnp.zeros((f2p, dblk), jnp.float32)
+            seg = jnp.concatenate(
+                [vlo_ref[0].astype(jnp.float32),
+                 vhi_ref[0].astype(jnp.float32)], axis=0)   # (2C, dblk)
+            zs = seg.reshape(n2, 2 * dblk)                  # [z_re | z_im]
+            fsr, fsi = pf.staged_dft(zs, None, w1r_ref[:], w1i_ref[:],
+                                     twr_ref[:], twi_ref[:], w2r_ref[:],
+                                     w2i_ref[:], f1, f2d, precision)
+            frr, fir = fsr[:, :dblk], fsr[:, dblk:]
+            fri, fii = fsi[:, :dblk], fsi[:, dblk:]
+            pr = frr - fii
+            pi = fri + fir
+            zcr = frr + fii
+            zci = fri - fir
+            afr, afi = afr_ref[:], afi_ref[:]
+            bfr, bfi = bfr_ref[:], bfi_ref[:]
+            xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+            xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+            x_nyq = jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
+                            keepdims=True)
+            base = c * f2p
+            tail = f2p - n2          # = 8: one aligned store covers
+            # Nyquist row + zero padding (Mosaic needs %8 row offsets)
+            vr_scr[pl.ds(base, n2)] = xr.astype(sdt)
+            vi_scr[pl.ds(base, n2)] = xi.astype(sdt)
+            vr_scr[pl.ds(base + n2, tail)] = jnp.concatenate(
+                [x_nyq, jnp.zeros((tail - 1, dblk), jnp.float32)],
+                axis=0).astype(sdt)
+            vi_scr[pl.ds(base + n2, tail)] = jnp.zeros((tail, dblk), sdt)
+
+        @pl.when(delta <= c)
+        def _():
+            # banded term: acc_c += K[delta][:, c-group] (.) Vspec_{c-delta}
+            kslab_r = jnp.pad(kr_ref[0, 0], ((0, f2p - n2 - 1), (0, 0)))
+            kslab_i = jnp.pad(ki_ref[0, 0], ((0, f2p - n2 - 1), (0, 0)))
+            e = e_ref[0]                                    # (cols, dblk)
+            if gpb == 1 and kb == cols:
+                gr = mm(kslab_r.astype(jnp.float32), e)
+                gi = mm(kslab_i.astype(jnp.float32), e)
+            else:
+                sel = s_ref[pl.ds((c % gpb) * kb, kb)]      # (kb, cols)
+                gr = mm(mm(kslab_r.astype(jnp.float32), sel), e)
+                gi = mm(mm(kslab_i.astype(jnp.float32), sel), e)
+            voff = (c - delta) * f2p
+            vr = vr_scr[pl.ds(voff, f2p)].astype(jnp.float32)
+            vi = vi_scr[pl.ds(voff, f2p)].astype(jnp.float32)
+            accr[:] = accr[:] + (gr * vr - gi * vi)
+            acci[:] = acci[:] + (gr * vi + gi * vr)
+
+        @pl.when(delta == c)
+        def _():
+            # last contribution for chunk c just landed — emit its output
+            if staged:
+                mr = accr[pl.ds(0, n2)]
+                mi = acci[pl.ds(0, n2)] * (1.0 - dc_ref[:])
+                m_nyq = accr[pl.ds(n2, 1)]
+                airp, aiip = airp_ref[:], aiip_ref[:]
+                cirp, ciip = cirp_ref[:], ciip_ref[:]
+                amr = airp * mr - aiip * mi
+                ami = airp * mi + aiip * mr
+                cmr = cirp * mr + ciip * mi                 # C' (.) conj(M)
+                cmi = ciip * mr - cirp * mi
+                sr = jnp.concatenate([amr, cmr], axis=-1)
+                si = jnp.concatenate([ami, -cmi], axis=-1)
+                tr, ti = pf.staged_dft(sr, si, i1r_ref[:], i1i_ref[:],
+                                       itwr_ref[:], itwi_ref[:],
+                                       i2r_ref[:], i2i_ref[:], f1, f2d,
+                                       precision)
+                z_r = tr[:, :dblk] + tr[:, dblk:] + b0r * m_nyq
+                z_i = ti[:, :dblk] - ti[:, dblk:] + b0i * m_nyq
+                y = jnp.stack([z_r[:n2 // 2], z_i[:n2 // 2]],
+                              axis=1).reshape(n2, dblk)
+            else:
+                y = mm(ar_ref[:], accr[:]) + mm(ai_ref[:], acci[:])
+            o_ref[0] = y.astype(o_ref.dtype)
+
+    return kernel, f2p
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "cols", "fast", "interpret",
+                                    "scr_bf16", "staged", "dblk"))
+def _fused_causal_call_v3(v, kfr, kfi, *, chunk, cols, fast=False,
+                          interpret=False, scr_bf16=None, staged=None,
+                          dblk=None):
+    import fft_tpu.kernels.pallas_fft as pf
+    b, n, d = v.shape
+    nc = n // chunk
+    ncg = nc * cols
+    assert kfr.shape == (b, nc, chunk + 1, ncg), (kfr.shape, b, nc, chunk)
+    precision = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
+    plan = _fused_plan_v3(nc, chunk, d, v.dtype.itemsize, fast, cols)
+    assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
+    p_dblk, p_staged, p_scr = plan if plan else (_DBLK, False, False)
+    dblk = p_dblk if dblk is None else dblk
+    staged = p_staged if staged is None else staged
+    scr_bf16 = p_scr if scr_bf16 is None else scr_bf16
+    if scr_bf16:
+        kfr = kfr.astype(jnp.bfloat16)
+        kfi = kfi.astype(jnp.bfloat16)
+    kernel, f2p = _make_fused_kernel_v3(nc, chunk, cols, precision, dblk,
+                                        scr_bf16, staged)
+    sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
+    kb, gpb = _v3_kb(nc, cols)
+    assert kb is not None, (nc, cols)
+    cst = pf._consts(2 * chunk)
+    n2 = cst["n2"]
+    assert np.array_equal(cst["perm"], np.arange(n2)), "non-natural DFT order"
+
+    if staged:
+        sgn = ((-1.0) ** np.arange(n2))[:, None].astype(np.float32)
+        inv_rows = {
+            "airp": np.asarray(cst["air"], np.float32) * sgn,
+            "aiip": np.asarray(cst["aii"], np.float32) * sgn,
+            "cirp": np.asarray(cst["cir"], np.float32) * sgn,
+            "ciip": np.asarray(cst["cii"], np.float32) * sgn,
+        }
+    else:
+        ar_n, ai_n = _inv_rows_np(chunk)
+        ar_p = np.zeros((chunk, f2p), np.float32)
+        ai_p = np.zeros((chunk, f2p), np.float32)
+        ar_p[:, :n2 + 1] = ar_n
+        ai_p[:, :n2 + 1] = ai_n
+
+    # sel[r*kb + r*cols + g, g] = 1: slicing (c%gpb)*kb rows picks chunk
+    # group c out of its 128-lane K block (Mosaic: one-hot matmul, no lane
+    # gathers)
+    sel = np.zeros((gpb * kb, cols), np.float32)
+    for r in range(gpb):
+        for g in range(cols):
+            sel[r * kb + r * cols + g, g] = 1.0
+
+    d_per_col = d // cols
+    e = np.zeros((d // dblk, cols, dblk), np.float32)
+    for j in range(d // dblk):
+        for l in range(dblk):
+            e[j, (j * dblk + l) // d_per_col, l] = 1.0
+
+    v_pad = jnp.pad(v, ((0, 0), (chunk, 0), (0, 0)))  # segment -1 = zeros
+
+    const_specs = []
+    const_args = []
+
+    def add_const(arr):
+        arr = np.asarray(arr, np.float32)
+        const_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, cc, dl, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        const_args.append(jnp.asarray(arr))
+
+    if staged:
+        for name in ("i1r", "i1i", "itwr", "itwi", "i2r", "i2i"):
+            add_const(cst[name])
+        for name in ("airp", "aiip", "cirp", "ciip"):
+            add_const(inv_rows[name])
+        add_const(cst["dc"])
+    else:
+        add_const(ar_p)
+        add_const(ai_p)
+    for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                 "afr", "afi", "bfr", "bfi"):
+        add_const(cst[name])
+
+    grid = (b, d // dblk, nc, nc)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((b, n, d), v.dtype),
+        in_specs=[
+            # segment c first/second halves of the padded v; index maps
+            # ignore delta so skipped steps trigger no refetch
+            pl.BlockSpec((1, chunk, dblk), lambda i, j, c, dl: (i, c, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, dblk),
+                         lambda i, j, c, dl: (i, c + 1, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk + 1, kb),
+                         lambda i, j, c, dl: (i, jnp.minimum(dl, c), 0,
+                                              c // gpb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk + 1, kb),
+                         lambda i, j, c, dl: (i, jnp.minimum(dl, c), 0,
+                                              c // gpb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb * kb, cols), lambda i, j, c, dl: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols, dblk), lambda i, j, c, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs,
+        out_specs=pl.BlockSpec((1, chunk, dblk),
+                               lambda i, j, c, dl: (i, c, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((f2p, dblk), jnp.float32),
+            pltpu.VMEM((f2p, dblk), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(v_pad, v_pad, kfr, kfi, jnp.asarray(sel), jnp.asarray(e),
+      *const_args)
     return out
 
 

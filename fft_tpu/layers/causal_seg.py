@@ -47,6 +47,10 @@ def preferred_causal_chunk(seq: int, d: int) -> int:
     from fft_tpu.kernels.pallas_causal import fused_mix_supported
     cands = [seq // 4] if seq // 4 >= 512 else []
     cands += [seq // 8, seq // 16]
+    if seq // 32 >= 2048:
+        # seq 64k+: only the v3 grid-banded kernel covers it (chunk <=
+        # 2048); measured 27 ms vs 101 ms for the v1 chunk-4096 path
+        cands.append(seq // 32)
     for c in cands:
         if c >= 128 and seq % c == 0 and fused_mix_supported(seq // c, c, d):
             return c
