@@ -224,7 +224,7 @@ def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
 
     def kernel(*refs):
         if with_memory:
-            (v_ref, gr_ref, gi_ref, e_ref, mr_ref, mi_ref,
+            (v_ref, gr_ref, gi_ref, e_ref, mt_ref,
              dm_ref, aa_ref) = refs[:-1]
         else:
             (v_ref, gr_ref, gi_ref, e_ref,
@@ -255,10 +255,12 @@ def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
         g_i = expand(gi_ref[0])
         mxr = g_r * xr - g_i * xi
         mxi = g_r * xi + g_i * xr
-        if with_memory:
-            mxr = mxr + mr_ref[:]
-            mxi = mxi + mi_ref[:]
         y = mm(aa_ref[:], jnp.concatenate([mxr, mxi], axis=0))  # (N, dblk)
+        if with_memory:
+            # frozen spectral memory enters additively; its irFFT is a
+            # per-layer constant, precomputed time-domain and added here
+            # (cheaper than streaming (F, dblk) re/im pairs through VMEM)
+            y = y + mt_ref[:]
         o_ref[0] = y.astype(o_ref.dtype)
 
     return kernel
@@ -266,16 +268,19 @@ def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_fft", "interpret", "fast", "dblk"))
-def _direct_mix_call(v, g_r, g_i, mem_r, mem_i, *, n_fft, interpret=False,
+def _direct_mix_call(v, g_r, g_i, mem_t, *, n_fft, interpret=False,
                      fast=False, dblk=None):
     b, n, d = v.shape
-    with_memory = mem_r is not None
+    with_memory = mem_t is not None
     f_half = n_fft // 2 + 1
     if dblk is None:
-        # 256 reuses each resident M/A weight tile across twice the output
-        # lanes (fewer MXU weight reloads); measured faster than 128 at the
-        # flagship shape.  Fall back to 128 when d doesn't divide.
-        dblk = 256 if d % 256 == 0 else _DBLK
+        # Wider blocks reuse each resident M/A weight tile across more
+        # output lanes (fewer MXU weight reloads).  Measured on v5e at the
+        # flagship shape (N=1024, B=8, d=512, bf16, slope-timed twice):
+        # 128 = 0.149-0.152 ms, 256 = 0.126-0.130, 512 = 0.124-0.133 —
+        # 256/512 tie within noise; both clearly beat 128.
+        dblk = (512 if d % 512 == 0 else
+                256 if d % 256 == 0 else _DBLK)
     precision = jax.lax.Precision.DEFAULT if fast else _PREC
     kernel = _make_direct_kernel(n_fft, with_memory, precision, dblk)
     mr, mi, ar, ai = _direct_consts(n_fft)
@@ -303,12 +308,10 @@ def _direct_mix_call(v, g_r, g_i, mem_r, mem_i, *, n_fft, interpret=False,
     args = [v, g_r, g_i, jnp.asarray(blk)]
     if with_memory:
         data_specs += [
-            pl.BlockSpec((f_half, dblk), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_half, dblk), lambda i, j: (0, j),
+            pl.BlockSpec((n, dblk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ]
-        args += [mem_r, mem_i]
+        args += [mem_t]
     for arr in (dm, aa):
         data_specs.append(pl.BlockSpec(
             arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM))
@@ -331,6 +334,163 @@ def _direct_mix_call(v, g_r, g_i, mem_r, mem_i, *, n_fft, interpret=False,
         **kwargs,
     )(*args)
     return out
+
+
+def _make_direct_bwd_kernel(n_fft: int, precision, dblk: int, njblk: int):
+    f_half = n_fft // 2 + 1
+
+    def kernel(v_ref, yb_ref, gr_ref, gi_ref, e_ref, cf_ref, icf_ref,
+               dm_ref, aa_ref, vb_ref, gbr_ref, gbi_ref):
+        j = pl.program_id(1)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        v = v_ref[0].astype(jnp.float32)               # (N, dblk)
+        yb = yb_ref[0].astype(jnp.float32)             # (N, dblk)
+        # one stacked pass gives the forward spectrum (of v) and the
+        # adjoint-inverse spectrum (of ybar) together:
+        #   Ar^T = diag(coef/n) Mr,  Ai^T = diag(coef/n) Mi
+        # so u = aa^T @ ybar == cf * (dm @ ybar) — same constant matrix.
+        w = mm(dm_ref[:], jnp.concatenate([yb, v], axis=1))  # (2F, 2*dblk)
+        cf = cf_ref[:]                                 # (F, 1)
+        ur = cf * w[:f_half, :dblk]
+        ui = cf * w[f_half:, :dblk]
+        xr = w[:f_half, dblk:]
+        xi = w[f_half:, dblk:]
+
+        e_mat = e_ref[0]                               # (HG, dblk) one-hot
+
+        def expand(g):
+            return jax.lax.dot_general(
+                g, e_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        g_r = expand(gr_ref[0])
+        g_i = expand(gi_ref[0])
+        # cotangents of the mixed spectrum are (ur, ui); chain through the
+        # complex gate multiply (mx = g * x):
+        xr_bar = g_r * ur + g_i * ui
+        xi_bar = g_r * ui - g_i * ur
+        # vbar = Mr^T @ xr_bar + Mi^T @ xi_bar == aa @ (icf * [xr; xi]_bar)
+        icf = icf_ref[:]                               # (F, 1)
+        vb = mm(aa_ref[:], jnp.concatenate(
+            [icf * xr_bar, icf * xi_bar], axis=0))     # (N, dblk)
+        vb_ref[0] = vb.astype(vb_ref.dtype)
+
+        # gate cotangents, reduced onto the compact (F, HG) columns
+        gfr = ur * xr + ui * xi
+        gfi = ui * xr - ur * xi
+
+        def reduce_cols(gf):
+            return jax.lax.dot_general(
+                gf, e_mat, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        gbr = reduce_cols(gfr)
+        gbi = reduce_cols(gfi)
+        if njblk == 1:
+            gbr_ref[0] = gbr
+            gbi_ref[0] = gbi
+        else:
+            @pl.when(j == 0)
+            def _init():
+                gbr_ref[0] = gbr
+                gbi_ref[0] = gbi
+
+            @pl.when(j > 0)
+            def _acc():
+                gbr_ref[0] += gbr
+                gbi_ref[0] += gbi
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "interpret", "fast", "dblk"))
+def _direct_mix_bwd_call(v, g_r, g_i, ybar, *, n_fft, interpret=False,
+                         fast=False, dblk=None):
+    """Fused adjoint of the direct-matrix mix: (vbar, gbar_r, gbar_i) in
+    one pass (3 stacked matmuls on the SAME dm/aa constants as the
+    forward; the jnp.vjp fallback costs ~6x the forward in HBM
+    round-trips)."""
+    b, n, d = v.shape
+    f_half = n_fft // 2 + 1
+    if dblk is None:
+        dblk = (512 if d % 512 == 0 else
+                256 if d % 256 == 0 else _DBLK)
+    njblk = d // dblk
+    precision = jax.lax.Precision.DEFAULT if fast else _PREC
+    kernel = _make_direct_bwd_kernel(n_fft, precision, dblk, njblk)
+    mr, mi, ar, ai = _direct_consts(n_fft)
+    dm = np.concatenate([mr, mi], axis=0)              # (2F, N)
+    aa = np.concatenate([ar, ai], axis=1)              # (N, 2F)
+    t = np.arange(n_fft)
+    coef = np.full(f_half, 2.0)
+    coef[0] = 1.0
+    coef[-1] = 1.0
+    cf = (coef / n_fft).astype(np.float32).reshape(f_half, 1)
+    icf = (n_fft / coef).astype(np.float32).reshape(f_half, 1)
+    del t
+
+    grid = (b, njblk)
+    hg = g_r.shape[-1]
+    d_per_col = d // hg
+    blk = np.zeros((njblk, hg, dblk), np.float32)
+    for j in range(njblk):
+        for l in range(dblk):
+            blk[j, (j * dblk + l) // d_per_col, l] = 1.0
+
+    data_specs = [
+        pl.BlockSpec((1, n, dblk), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, dblk), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f_half, hg), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f_half, hg), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, dblk), lambda i, j: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [v, ybar, g_r, g_i, jnp.asarray(blk)]
+    for arr in (cf, icf, dm, aa):
+        data_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(arr))
+
+    kwargs = {}
+    if not interpret:
+        from fft_tpu.kernels.pallas_causal import _VMEM_LIMIT
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",
+                                 "parallel" if njblk == 1 else "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, n, d), v.dtype),
+        jax.ShapeDtypeStruct((b, f_half, hg), jnp.float32),
+        jax.ShapeDtypeStruct((b, f_half, hg), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, n, dblk), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f_half, hg), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f_half, hg), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=data_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        **kwargs,
+    )(*args)
 
 
 def _direct_supported(n_fft: int) -> bool:
@@ -537,11 +697,22 @@ def fused_spectral_mix(
 
     if _direct_supported(n_fft):
         g = gate_bc.astype(jnp.complex64)
-        mem_r = mem_i = None
+        mem_t = None
         if memory_fft is not None:
+            # memory enters additively (mixed + mem before the irFFT), so
+            # its contribution is the constant irfft(mem) — precompute it
+            # in time domain (one small matmul pair on the dense-A consts;
+            # bf16 single-pass in fast mode) and let the kernel add it as
+            # an output bias.
+            _, _, ar, ai = _direct_consts(n_fft)
+            prec = (jax.lax.Precision.DEFAULT if fast
+                    else jax.lax.Precision.HIGHEST)
             m = memory_fft.astype(jnp.complex64)
-            mem_r, mem_i = jnp.real(m), jnp.imag(m)
-        return _direct_mix_call(v, jnp.real(g), jnp.imag(g), mem_r, mem_i,
+            mem_t = (jnp.matmul(jnp.asarray(ar), jnp.real(m),
+                                precision=prec)
+                     + jnp.matmul(jnp.asarray(ai), jnp.imag(m),
+                                  precision=prec))
+        return _direct_mix_call(v, jnp.real(g), jnp.imag(g), mem_t,
                                 n_fft=n_fft, interpret=interpret, fast=fast)
 
     cst = _consts(n_fft)
@@ -564,18 +735,21 @@ def fused_spectral_mix(
                            n_fft=n_fft, interpret=interpret, fast=fast)
 
 
-def _unfused_mix(v, gate_bc, memory_fft, n_fft):
+def _unfused_mix(v, gate_bc, memory_fft, n_fft, fast=False):
     """Reference composition through the matmul FFT (same math; used for
     the backward pass and as the fallback).  Accepts the compact
     (B, F_half, H*G) gate and broadcasts it over channels."""
     from fft_tpu.kernels.matfft import irfft_matmul, rfft_matmul
+    prec = (jax.lax.Precision.DEFAULT if fast
+            else jax.lax.Precision.HIGHEST)
     d = v.shape[-1]
     if gate_bc.shape[-1] != d:
         gate_bc = jnp.repeat(gate_bc, d // gate_bc.shape[-1], axis=-1)
-    mixed = gate_bc * rfft_matmul(v, n_fft, axis=-2)
+    mixed = gate_bc * rfft_matmul(v, n_fft, axis=-2, precision=prec)
     if memory_fft is not None:
         mixed = mixed + memory_fft
-    return irfft_matmul(mixed, n_fft, axis=-2).astype(v.dtype)
+    return irfft_matmul(mixed, n_fft, axis=-2,
+                        precision=prec).astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -595,8 +769,37 @@ def _mix_fwd(v, gate_bc, memory_fft, n_fft, fast):
 
 def _mix_bwd(n_fft, fast, res, ybar):
     v, gate_bc, memory_fft = res
+    b, n, d = v.shape
+    hg = gate_bc.shape[-1]
+    # fast mode only: measured on v5e at the flagship shape the fused
+    # adjoint is 0.18 vs 0.50 ms (jax.vjp of the matmul composition) in
+    # bf16, but LOSES in exact mode (1.03 vs 0.69 — HIGHEST-precision
+    # dots make the direct N^2 matmuls 6-pass; the factored FFT does
+    # fewer FLOPs there).  benchmarks/ablate_mix_bwd.py.
+    if (fast and _direct_supported(n_fft) and n == n_fft
+            and d % _DBLK == 0 and d % hg == 0):
+        g = gate_bc.astype(jnp.complex64)
+        vbar, gbr, gbi = _direct_mix_bwd_call(
+            v, jnp.real(g), jnp.imag(g), ybar.astype(v.dtype),
+            n_fft=n_fft, interpret=INTERPRET, fast=fast)
+        # JAX's complex cotangent convention is conj(dL/dre + i dL/dim)
+        gbar = jax.lax.complex(gbr, -gbi).astype(gate_bc.dtype)
+        membar = None
+        if memory_fft is not None:
+            # mem enters additively: membar = aa^T @ (sum_b ybar), done
+            # outside the kernel (DCE'd entirely when memory is frozen
+            # behind stop_gradient).
+            prec = (jax.lax.Precision.DEFAULT if fast
+                    else jax.lax.Precision.HIGHEST)
+            _, _, ar, ai = _direct_consts(n_fft)
+            ys = jnp.sum(ybar.astype(jnp.float32), axis=0)
+            mbr = jnp.matmul(jnp.asarray(ar.T), ys, precision=prec)
+            mbi = jnp.matmul(jnp.asarray(ai.T), ys, precision=prec)
+            membar = jax.lax.complex(mbr, -mbi).astype(memory_fft.dtype)
+        return vbar, gbar, membar
     _, vjp = jax.vjp(
-        lambda v, g, m: _unfused_mix(v, g, m, n_fft), v, gate_bc, memory_fft)
+        lambda v, g, m: _unfused_mix(v, g, m, n_fft, fast),
+        v, gate_bc, memory_fft)
     return vjp(ybar)
 
 

@@ -77,3 +77,48 @@ def test_pallas_support_predicate():
     assert pf.pallas_mix_supported(8192)
     assert not pf.pallas_mix_supported(16384)     # VMEM bound (falls back)
     assert not pf.pallas_mix_supported(63)        # odd
+
+
+def test_direct_bwd_kernel_matches_vjp():
+    """Fused adjoint kernel == jax.vjp of the unfused composition, incl.
+    the complex-cotangent conjugation and the multi-j-block gate
+    accumulation path."""
+    n, b, d, hg = 128, 2, 256, 8
+    f_half = n // 2 + 1
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    gate = jnp.asarray(
+        rng.standard_normal((b, f_half, hg))
+        + 1j * rng.standard_normal((b, f_half, hg)), jnp.complex64)
+    mem = jnp.asarray(
+        rng.standard_normal((f_half, d))
+        + 1j * rng.standard_normal((f_half, d)), jnp.complex64)
+    ybar = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+
+    # fast=True routes the fused adjoint kernel (exact-mode _mix_bwd uses
+    # the plain jax.vjp fallback); under interpret mode the dots are f32
+    # either way, so the 1e-5 tolerance holds.
+    for m in (mem, None):
+        got = pf._mix_bwd(n, True, (v, gate, m), ybar)
+        _, vjp = jax.vjp(
+            lambda v_, g_, m_: pf._unfused_mix(v_, g_, m_, n, False),
+            v, gate, m)
+        ref = vjp(ybar)
+        for g_, r_ in zip(got, ref):
+            if r_ is None:
+                assert g_ is None
+                continue
+            assert rel_err(np.asarray(g_), np.asarray(r_)) < 1e-5
+
+    # explicit narrow dblk exercises the j-accumulated gate cotangent
+    g = gate
+    vbar, gbr, gbi = pf._direct_mix_bwd_call(
+        v, jnp.real(g), jnp.imag(g), ybar, n_fft=n, interpret=True,
+        dblk=128)
+    _, vjp = jax.vjp(
+        lambda v_, g_, m_: pf._unfused_mix(v_, g_, m_, n, False),
+        v, gate, None)
+    rv, rg, _ = vjp(ybar)
+    assert rel_err(np.asarray(vbar), np.asarray(rv)) < 1e-5
+    assert rel_err(np.asarray(jax.lax.complex(gbr, -gbi)),
+                   np.asarray(rg)) < 1e-5
