@@ -47,18 +47,31 @@ def main():
             s, metrics = train_step(s, bt, model_cfg=cfg, optimizer=opt)
             return s, metrics["loss"]
         s, losses = jax.lax.scan(body, st, None, length=k)
-        return losses[-1]
+        return s, losses[-1]
 
     k_lo, k_hi = 1, 3
-    f_lo = jax.jit(lambda st, bt: chain(st, bt, k_lo))
-    f_hi = jax.jit(lambda st, bt: chain(st, bt, k_hi))
-    float(np.asarray(f_lo(state, batch)))
-    float(np.asarray(f_hi(state, batch)))
+    # donate the train state: without it XLA double-buffers params +
+    # AdamW mu/nu (~2.1 GB at 350M f32) as HLO-temp copies — the seq-32k
+    # config only fits HBM with in-place updates.  The returned state is
+    # threaded through every call (the donated input is dead after it).
+    f_lo = jax.jit(lambda st, bt: chain(st, bt, k_lo), donate_argnums=(0,))
+    f_hi = jax.jit(lambda st, bt: chain(st, bt, k_hi), donate_argnums=(0,))
+    state, l0 = f_lo(state, batch)
+    float(np.asarray(l0))
+    state, l0 = f_hi(state, batch)
+    float(np.asarray(l0))
+
+    holder = [state]                     # single live copy (donated)
 
     def t(f):
+        def run():
+            st, loss = f(holder.pop(), batch)
+            holder.append(st)
+            return loss
+
         best = float("inf")
         for _ in range(2):
-            t0 = time.perf_counter(); float(np.asarray(f(state, batch)))
+            t0 = time.perf_counter(); float(np.asarray(run()))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -62,10 +62,14 @@ def cmd_train_lm(args):
         start = int(np.asarray(state.step))
         print(f"resumed at step {start}")
 
+    # donated state: in-place param/opt updates — without it XLA keeps
+    # HLO-temp copies of params + AdamW moments (~2.1 GB at 350M) and the
+    # seq-32k config overflows the chip
     step_fn = jax.jit(lambda s, b: train_step(s, b, model_cfg=cfg,
                                               optimizer=opt),
                       in_shardings=(state_sh, batch_sh),
-                      out_shardings=(state_sh, None))
+                      out_shardings=(state_sh, None),
+                      donate_argnums=(0,))
 
     def make_batches(seed):
         if args.data is not None:

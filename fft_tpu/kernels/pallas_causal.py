@@ -1147,6 +1147,12 @@ def _fc_bwd(chunk, cols, fast, interpret, res, ybar):
         return _fused_causal_bwd_call(v, kfr, kfi, ybar, chunk=chunk,
                                       cols=cols, fast=fast,
                                       interpret=interpret)
+    if _bwd_plan_v3(nc, chunk, v.shape[-1], cols, v.dtype.itemsize, fast):
+        # long-context shapes (nc >= 16) past the v2 bwd VMEM model:
+        # grid-banded adjoint, sequence windowed over the grid
+        return _fused_causal_bwd_call_v3(v, kfr, kfi, ybar, chunk=chunk,
+                                         cols=cols, fast=fast,
+                                         interpret=interpret)
     return _fused_causal_bwd(v, kfr, kfi, ybar, chunk, cols, prec)
 
 
@@ -1973,3 +1979,408 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
     kfr_bar = jnp.sum(okr.astype(jnp.float32), axis=1).astype(k_dtype)
     kfi_bar = jnp.sum(oki.astype(jnp.float32), axis=1).astype(k_dtype)
     return ov, kfr_bar, kfi_bar
+
+
+# ---------------------------------------------------------------------------
+# v3-style grid-banded BACKWARD kernel: the long-context training shapes
+# (nc >= 16: SPECTRE-350M at seq 32k, chunk 2048) overflow the v2 bwd
+# kernel's VMEM model (six full-sequence (nc*f2p, dblk) scratches plus the
+# whole v/ybar/vbar slabs resident at once) and fell to the ~4x-slower jnp
+# adjoint.  Here the sequence rides the grid like the v3 forward:
+#
+#   grid = (b, d/dblk, j, delta), j = source segment, delta innermost
+#
+#   (j==0, delta==0): cache accbar_c for ALL c in an (nc*f2p, dblk)
+#       scratch — one scaled rFFT of [ybar_c ; 0] per chunk (the partial-
+#       irFFT-adjoint row scale folded into the untangle constants).
+#   delta == 0     : segment-rFFT the j'th v window into a single-segment
+#       (f2p, dblk) scratch; zero the Vfbar accumulator.
+#   c = j + delta < nc:
+#       Vfbar_j   += conj-combo(K[delta] columns of chunk c, accbar_c)
+#       Kbar[delta][:, c cols] = dblk-reduce(accbar_c (.)' Vspec_j)
+#       (each (delta, c) pair has exactly one source j = c - delta, so
+#       every Kbar block is written exactly once — steps with c >= nc
+#       land on a trash row that is sliced off outside)
+#   delta == nc-1  : staged adjoint of the segment rFFT (2C*w folded into
+#       the inverse untangle rows) -> (2C, dblk) taps, emitted per
+#       segment; the overlap-add onto the two chunks each segment covers
+#       happens outside (no descending-j carry ordering needed).
+#
+# Unlike a naive split, BOTH cotangents come out of one pass over one
+# set of cached spectra: no nc^2 FFT recompute, v and ybar each read
+# from HBM once per (b, dblk) program.  Reference adjoint semantics:
+# jax.vjp of layers/causal_seg.py's overlap-save composition
+# (/root/reference/spectre.py:506-551 is the dense-gather equivalent).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_vmem_ok_v3(nc: int, chunk: int, dblk: int, itemsize: int,
+                    scr_bf16: bool, cols: int) -> bool:
+    kb, _ = _v3_kb(nc, cols)
+    if kb is None:
+        return False
+    f2p = _pad8(chunk + 1)
+    scr_item = 2 if scr_bf16 else 4
+    n = nc * chunk
+    ybin = n * dblk * itemsize * 2
+    vwin = 2 * chunk * dblk * itemsize * 2
+    kblk = f2p * max(kb, 128) * scr_item * 2 * 2
+    rbar = 2 * nc * f2p * dblk * scr_item
+    vspec = 2 * f2p * dblk * 4
+    acc = 2 * f2p * dblk * 4
+    ovout = 2 * chunk * dblk * itemsize * 2
+    okout = 2 * f2p * max(cols, 128) * scr_item * 2
+    amat = 6 * chunk * 2 * dblk * 4          # staged inverse stage buffers
+    total = (ybin + vwin + kblk + rbar + vspec + acc + ovout + okout
+             + amat + 6 * 1024 * 1024)
+    return total < 96 * 1024 * 1024
+
+
+def _bwd_plan_v3(nc: int, chunk: int, d: int, cols: int, itemsize: int = 4,
+                 fast: bool = False):
+    """(dblk, scr_bf16) for the v3 bwd kernel, or None.  Only consulted
+    where the v2 bwd plan is empty; always staged (its target shapes have
+    chunk 2048 where the dense Madj alone is 134 MiB)."""
+    from fft_tpu.kernels.pallas_fft import _mix_factors
+    if (d % _DBLK or chunk % 8 or not 128 <= chunk <= 2048
+            or not 1 <= nc <= 64 or _mix_factors(2 * chunk) is None):
+        return None
+    scr_opts = (False,) if not fast else (False, True)
+    for scr in scr_opts:
+        for dblk in (256, 128):
+            if d % dblk or dblk > d:
+                continue
+            if _bwd_vmem_ok_v3(nc, chunk, dblk, itemsize, scr, cols):
+                return dblk, scr
+    return None
+
+
+def _make_fused_bwd_kernel_v3(nc: int, chunk: int, cols: int, precision,
+                              dblk: int, scr_bf16: bool = False):
+    import fft_tpu.kernels.pallas_fft as pf
+    cst = pf._consts(2 * chunk)
+    n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
+    assert n2 == chunk
+    f2p = _pad8(n2 + 1)
+    kb, gpb = _v3_kb(nc, cols)
+    sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
+    b0r, b0i = cst["b0"].real, cst["b0"].imag
+    tail = f2p - n2          # 8-row aligned Nyquist+pad store (Mosaic)
+
+    def kernel(yb_ref, vlo_ref, vhi_ref, kr_ref, ki_ref, s_ref, e_ref,
+               ek_ref,
+               i1r_ref, i1i_ref, itwr_ref, itwi_ref, i2r_ref, i2i_ref,
+               airw_ref, aiiw_ref, cirw_ref, ciiw_ref, dc_ref,
+               w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+               afr_ref, afi_ref, bfr_ref, bfi_ref,
+               sfr_ref, sfi_ref, sgr_ref, sgi_ref, snyq_ref,
+               ov_ref, okr_ref, oki_ref,
+               rbar, ibar, vr_s, vi_s, accr, acci):
+        j = pl.program_id(2)
+        dl = pl.program_id(3)
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+
+        def pack_fft(slab):
+            zs = slab.reshape(n2, 2 * dblk)
+            fsr, fsi = pf.staged_dft(zs, None, w1r_ref[:], w1i_ref[:],
+                                     twr_ref[:], twi_ref[:], w2r_ref[:],
+                                     w2i_ref[:], f1, f2d, precision)
+            frr, fir = fsr[:, :dblk], fsr[:, dblk:]
+            fri, fii = fsi[:, :dblk], fsi[:, dblk:]
+            return ((frr - fii), (fri + fir), (frr + fii), (fri - fir),
+                    jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
+                            keepdims=True))
+
+        @pl.when(jnp.logical_and(j == 0, dl == 0))
+        def _():
+            # accbar cache for every chunk c (reused across all j)
+            sfr, sfi = sfr_ref[:], sfi_ref[:]
+            sgr, sgi = sgr_ref[:], sgi_ref[:]
+            s_nyq = snyq_ref[0, 0]
+
+            def acc_body(c, carry):
+                yc = yb_ref[0, pl.ds(c * chunk, chunk)].astype(jnp.float32)
+                slab = jnp.concatenate(
+                    [yc, jnp.zeros((chunk, dblk), jnp.float32)], axis=0)
+                pr, pi, zcr, zci, x_nyq = pack_fft(slab)
+                rr = sfr * pr - sfi * pi + sgr * zcr - sgi * zci
+                ri = sfr * pi + sfi * pr + sgr * zci + sgi * zcr
+                base = c * f2p
+                rbar[pl.ds(base, n2)] = rr.astype(sdt)
+                ibar[pl.ds(base, n2)] = ri.astype(sdt)
+                rbar[pl.ds(base + n2, tail)] = jnp.concatenate(
+                    [x_nyq * s_nyq,
+                     jnp.zeros((tail - 1, dblk), jnp.float32)],
+                    axis=0).astype(sdt)
+                ibar[pl.ds(base + n2, tail)] = jnp.zeros((tail, dblk), sdt)
+                return carry
+
+            jax.lax.fori_loop(0, nc, acc_body, 0)
+
+        @pl.when(dl == 0)
+        def _():
+            # this j's segment spectrum + fresh Vfbar accumulator
+            accr[:] = jnp.zeros((f2p, dblk), jnp.float32)
+            acci[:] = jnp.zeros((f2p, dblk), jnp.float32)
+            seg = jnp.concatenate(
+                [vlo_ref[0].astype(jnp.float32),
+                 vhi_ref[0].astype(jnp.float32)], axis=0)
+            pr, pi, zcr, zci, x_nyq = pack_fft(seg)
+            afr, afi = afr_ref[:], afi_ref[:]
+            bfr, bfi = bfr_ref[:], bfi_ref[:]
+            vr_s[pl.ds(0, n2)] = afr * pr - afi * pi + bfr * zcr - bfi * zci
+            vi_s[pl.ds(0, n2)] = afr * pi + afi * pr + bfr * zci + bfi * zcr
+            vr_s[pl.ds(n2, tail)] = jnp.concatenate(
+                [x_nyq, jnp.zeros((tail - 1, dblk), jnp.float32)], axis=0)
+            vi_s[pl.ds(n2, tail)] = jnp.zeros((tail, dblk), jnp.float32)
+
+        c = j + dl
+
+        @pl.when(c <= nc - 1)
+        def _():
+            kslab_r = jnp.pad(kr_ref[0, 0].astype(jnp.float32),
+                              ((0, f2p - n2 - 1), (0, 0)))
+            kslab_i = jnp.pad(ki_ref[0, 0].astype(jnp.float32),
+                              ((0, f2p - n2 - 1), (0, 0)))
+            e = e_ref[0]                              # (cols, dblk)
+            if gpb == 1 and kb == cols:
+                gr = mm(kslab_r, e)
+                gi = mm(kslab_i, e)
+            else:
+                sel = s_ref[pl.ds((c % gpb) * kb, kb)]
+                gr = mm(mm(kslab_r, sel), e)
+                gi = mm(mm(kslab_i, sel), e)
+            rr = rbar[pl.ds(c * f2p, f2p)].astype(jnp.float32)
+            ri = ibar[pl.ds(c * f2p, f2p)].astype(jnp.float32)
+            accr[:] = accr[:] + (gr * rr + gi * ri)
+            acci[:] = acci[:] + (gr * ri - gi * rr)
+            vr = vr_s[:]
+            vi = vi_s[:]
+            ek = ek_ref[0]                            # (dblk, cols)
+            okr_ref[0, 0, 0] = mm(rr * vr + ri * vi, ek).astype(okr_ref.dtype)
+            oki_ref[0, 0, 0] = mm(ri * vr - rr * vi, ek).astype(oki_ref.dtype)
+
+        @pl.when(dl == nc - 1)
+        def _():
+            # staged adjoint of the segment rFFT: 2C * irfft(w (.) Vfbar),
+            # 2C*w folded into the inverse untangle rows host-side
+            mr = accr[pl.ds(0, n2)]
+            mi_ = acci[pl.ds(0, n2)] * (1.0 - dc_ref[:])
+            m_nyq = accr[pl.ds(n2, 1)]
+            airw, aiiw = airw_ref[:], aiiw_ref[:]
+            cirw, ciiw = cirw_ref[:], ciiw_ref[:]
+            amr = airw * mr - aiiw * mi_
+            ami = airw * mi_ + aiiw * mr
+            cmr = cirw * mr + ciiw * mi_              # C' (.) conj(M)
+            cmi = ciiw * mr - cirw * mi_
+            sr = jnp.concatenate([amr, cmr], axis=-1)
+            si = jnp.concatenate([ami, -cmi], axis=-1)
+            tr, ti = pf.staged_dft(sr, si, i1r_ref[:], i1i_ref[:],
+                                   itwr_ref[:], itwi_ref[:], i2r_ref[:],
+                                   i2i_ref[:], f1, f2d, precision)
+            b0rw = b0r * 2 * chunk
+            b0iw = b0i * 2 * chunk
+            z_r = tr[:, :dblk] + tr[:, dblk:] + b0rw * m_nyq
+            z_i = ti[:, :dblk] - ti[:, dblk:] + b0iw * m_nyq
+            sb = jnp.stack([z_r, z_i], axis=1).reshape(2 * chunk, dblk)
+            ov_ref[0, 0] = sb.astype(ov_ref.dtype)
+
+    return kernel, f2p
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "cols", "fast", "interpret",
+                                    "dblk", "scr_bf16"))
+def _fused_causal_bwd_call_v3(v, kfr, kfi, ybar, *, chunk, cols,
+                              fast=False, interpret=False, dblk=None,
+                              scr_bf16=None):
+    import fft_tpu.kernels.pallas_fft as pf
+    b, n, d = v.shape
+    nc = n // chunk
+    ncg = nc * cols
+    f2 = chunk + 1
+    d_g = d // cols
+    precision = (jax.lax.Precision.DEFAULT if fast
+                 else jax.lax.Precision.HIGHEST)
+    plan = _bwd_plan_v3(nc, chunk, d, cols, v.dtype.itemsize, fast)
+    assert plan is not None or dblk, (nc, chunk, d)
+    p_dblk, p_scr = plan if plan else (_DBLK, False)
+    dblk = p_dblk if dblk is None else dblk
+    scr_bf16 = p_scr if scr_bf16 is None else scr_bf16
+    k_dtype = kfr.dtype
+    if scr_bf16:
+        kfr = kfr.astype(jnp.bfloat16)
+        kfi = kfi.astype(jnp.bfloat16)
+    sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
+    # K-grad partials always ride HBM in bf16 in fast mode, regardless of
+    # the scratch dtype: at the 350M seq-32k shape they are (8, 272, 2056,
+    # 64->128 lane-padded) per r/i — 2.13 GB each in f32, which alone
+    # overflowed the 16 GB chip; the d/dblk partials are summed in f32
+    # outside, so only one rounding step rides on each partial.
+    kdt = jnp.bfloat16 if fast else jnp.float32
+    kernel, f2p = _make_fused_bwd_kernel_v3(nc, chunk, cols, precision,
+                                            dblk, scr_bf16)
+    kb, gpb = _v3_kb(nc, cols)
+    assert kb is not None, (nc, cols)
+    cst = pf._consts(2 * chunk)
+    n2 = cst["n2"]
+    assert np.array_equal(cst["perm"], np.arange(n2)), "non-natural DFT order"
+
+    # adjoint row scale for the accbar cache (delay identity, as v2 bwd)
+    f_idx = np.arange(n2)
+    coef = np.full(n2, 2.0, np.float32)
+    coef[0] = 1.0
+    s_rows = (coef * ((-1.0) ** f_idx) / (2 * chunk)).astype(np.float32)
+    s_col = s_rows[:, None]
+    s_nyq = np.float32(((-1.0) ** n2) / (2 * chunk))
+
+    # adjoint-rfft weights folded into the inverse untangle rows
+    w2c = np.full((n2, 1), float(chunk), np.float32)       # 2C * 1/2
+    w2c[0] = 2.0 * chunk                                   # 2C * 1
+    adj_rows = {
+        "airw": np.asarray(cst["air"], np.float32) * w2c,
+        "aiiw": np.asarray(cst["aii"], np.float32) * w2c,
+        "cirw": np.asarray(cst["cir"], np.float32) * w2c,
+        "ciiw": np.asarray(cst["cii"], np.float32) * w2c,
+    }
+
+    sel = np.zeros((gpb * kb, cols), np.float32)
+    for r in range(gpb):
+        for g in range(cols):
+            sel[r * kb + r * cols + g, g] = 1.0
+
+    njb = d // dblk
+    e = np.zeros((njb, cols, dblk), np.float32)
+    ek = np.zeros((njb, dblk, cols), np.float32)
+    for jb in range(njb):
+        for l in range(dblk):
+            g = (jb * dblk + l) // d_g
+            e[jb, g, l] = 1.0
+            ek[jb, l, g] = 1.0
+
+    sfr = s_col * np.asarray(cst["afr"], np.float32)
+    sfi = s_col * np.asarray(cst["afi"], np.float32)
+    sgr = s_col * np.asarray(cst["bfr"], np.float32)
+    sgi = s_col * np.asarray(cst["bfi"], np.float32)
+    snyq = np.full((1, 1), s_nyq, np.float32)
+
+    v_pad = jnp.pad(v, ((0, 0), (chunk, 0), (0, 0)))
+
+    const_specs = []
+    const_args = []
+
+    def add_const(arr):
+        arr = np.asarray(arr, np.float32)
+        const_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, jd, jj, dd, nd=arr.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM))
+        const_args.append(jnp.asarray(arr))
+
+    for name in ("i1r", "i1i", "itwr", "itwi", "i2r", "i2i"):
+        add_const(cst[name])
+    for name in ("airw", "aiiw", "cirw", "ciiw"):
+        add_const(adj_rows[name])
+    add_const(cst["dc"])
+    for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                 "afr", "afi", "bfr", "bfi"):
+        add_const(cst[name])
+    for arr in (sfr, sfi, sgr, sgi, snyq):
+        add_const(arr)
+
+    grid = (b, njb, nc, nc)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    ov, okr, oki = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nc, 2 * chunk, d), v.dtype),
+            jax.ShapeDtypeStruct((b, njb, nc * (nc + 1), f2p, cols), kdt),
+            jax.ShapeDtypeStruct((b, njb, nc * (nc + 1), f2p, cols), kdt),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, n, dblk), lambda i, jd, jj, dd: (i, 0, jd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, dblk),
+                         lambda i, jd, jj, dd: (i, jj, jd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk, dblk),
+                         lambda i, jd, jj, dd: (i, jj + 1, jd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f2, kb),
+                         lambda i, jd, jj, dd: (
+                             i, dd, 0,
+                             jnp.minimum(jj + dd, nc - 1) // gpb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f2, kb),
+                         lambda i, jd, jj, dd: (
+                             i, dd, 0,
+                             jnp.minimum(jj + dd, nc - 1) // gpb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb * kb, cols), lambda i, jd, jj, dd: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols, dblk), lambda i, jd, jj, dd: (jd, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dblk, cols), lambda i, jd, jj, dd: (jd, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + const_specs,
+        out_specs=(
+            pl.BlockSpec((1, 1, 2 * chunk, dblk),
+                         lambda i, jd, jj, dd: (i, jj, 0, jd),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f2p, cols),
+                         lambda i, jd, jj, dd: (
+                             i, jd,
+                             dd * (nc + 1) + jnp.minimum(jj + dd, nc),
+                             0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, f2p, cols),
+                         lambda i, jd, jj, dd: (
+                             i, jd,
+                             dd * (nc + 1) + jnp.minimum(jj + dd, nc),
+                             0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((nc * f2p, dblk), sdt),
+            pltpu.VMEM((f2p, dblk), jnp.float32),
+            pltpu.VMEM((f2p, dblk), jnp.float32),
+            pltpu.VMEM((f2p, dblk), jnp.float32),
+            pltpu.VMEM((f2p, dblk), jnp.float32),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(ybar.astype(v.dtype), v_pad, v_pad, kfr, kfi, jnp.asarray(sel),
+      jnp.asarray(e), jnp.asarray(ek), *const_args)
+
+    # overlap-add the per-segment 2C taps onto the two chunks each covers
+    seg = ov.astype(jnp.float32)
+    vbar = seg[:, :, chunk:] + jnp.pad(
+        seg[:, 1:, :chunk], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    vbar = vbar.reshape(b, n, d).astype(v.dtype)
+
+    # K grads: sum the dblk partials, drop the trash row, zero the c < delta
+    # blocks (no primal term -> no step ever writes them; the buffers hold
+    # whatever the DMA flushed), fold (c, G) back onto the producer's lanes
+    okr = jnp.sum(okr.astype(jnp.float32), axis=1)
+    oki = jnp.sum(oki.astype(jnp.float32), axis=1)
+    tri = jnp.asarray(np.triu(np.ones((nc, nc), bool))
+                      )[None, :, :, None, None]       # [dl, c] = c >= dl
+    okr = jnp.where(tri, okr.reshape(b, nc, nc + 1, f2p, cols)
+                    [:, :, :nc, :f2], 0.0)            # garbage may be NaN
+    oki = jnp.where(tri, oki.reshape(b, nc, nc + 1, f2p, cols)
+                    [:, :, :nc, :f2], 0.0)
+    kfr_bar = jnp.transpose(okr, (0, 1, 3, 2, 4)).reshape(
+        b, nc, f2, ncg).astype(k_dtype)
+    kfi_bar = jnp.transpose(oki, (0, 1, 3, 2, 4)).reshape(
+        b, nc, f2, ncg).astype(k_dtype)
+    return vbar, kfr_bar, kfi_bar

@@ -389,3 +389,33 @@ def test_causal_multihead_seg_rfft_path_matches_matmul(monkeypatch):
     ref = np.asarray(spectre_multihead_apply(params, cfg("matmul"), x))
     got = np.asarray(spectre_multihead_apply(params, c, x))
     assert rel_err(got, ref) < 1e-5
+
+
+def test_fused_causal_bwd_v3_matches_jnp_adjoint():
+    """Grid-banded bwd kernel (the nc>=16 long-context training path) vs
+    the hand-derived jnp adjoint, including the multi-dblk K-grad partial
+    sum and the outside overlap-add."""
+    # the 350M seq-32k training shape is exactly what this kernel exists
+    # for: v2 bwd has no plan there, v3 does
+    assert pc._bwd_plan(16, 2048, 1024, 64, 2, True) is None
+    assert pc._bwd_plan_v3(16, 2048, 1024, 64, 2, True) is not None
+    rng = np.random.default_rng(15)
+    b, nc, chunk, cols = 1, 3, 512, 4
+    for d in (128, 256):                  # 256 exercises njb=2 partials
+        v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)),
+                        jnp.float32)
+        kfr = jnp.asarray(
+            rng.standard_normal((b, nc, chunk + 1, nc * cols)),
+            jnp.float32)
+        kfi = jnp.asarray(
+            rng.standard_normal((b, nc, chunk + 1, nc * cols)),
+            jnp.float32)
+        ybar = jnp.asarray(rng.standard_normal((b, nc * chunk, d)),
+                           jnp.float32)
+        got = pc._fused_causal_bwd_call_v3(
+            v, kfr, kfi, ybar, chunk=chunk, cols=cols, fast=False,
+            interpret=True, dblk=128)
+        ref = pc._fused_causal_bwd(v, kfr, kfi, ybar, chunk, cols,
+                                   jax.lax.Precision.HIGHEST)
+        for a, b_ in zip(got, ref):
+            assert rel_err(np.asarray(a), np.asarray(b_)) < 1e-5
