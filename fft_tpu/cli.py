@@ -41,8 +41,8 @@ def cmd_train_lm(args):
     from fft_tpu.parallel import (lm_batch_sharding, lm_state_shardings,
                                   make_mesh)
     from fft_tpu.train import TrainConfig, train_init, train_step
-    from fft_tpu.train.checkpoint import (latest_step, restore_checkpoint,
-                                          save_checkpoint)
+    from fft_tpu.train.checkpoint import (AsyncCheckpointWriter, latest_step,
+                                          restore_checkpoint)
     from fft_tpu.train.data import CharDataset
     from fft_tpu.utils import MetricsLogger
 
@@ -88,6 +88,7 @@ def cmd_train_lm(args):
     # Resumed runs re-seed by the resumed step so the stream continues with
     # fresh batches instead of repeating the run's first ones.
     batches = make_batches(args.seed + start)
+    ckpt_writer = (AsyncCheckpointWriter(args.ckpt) if args.ckpt else None)
     logger = MetricsLogger(args.metrics, print_every=args.log_every)
     tokens_per_step = args.batch * args.seq
 
@@ -118,10 +119,13 @@ def cmd_train_lm(args):
                 rec["eval_loss"] = ce
                 rec["eval_ppl"] = float(np.exp(min(ce, 20.0)))
             logger.log(i, rec, tokens=tokens_per_step)
-        if args.ckpt and (i + 1) % args.ckpt_every == 0:
-            save_checkpoint(args.ckpt, jax.device_get(state), i + 1)
-    if args.ckpt:
-        save_checkpoint(args.ckpt, jax.device_get(state), args.steps)
+        if ckpt_writer is not None and (i + 1) % args.ckpt_every == 0:
+            # snapshot-to-host is synchronous; the disk write overlaps the
+            # next training steps
+            ckpt_writer.save(state, i + 1)
+    if ckpt_writer is not None:
+        ckpt_writer.save(state, args.steps)
+        ckpt_writer.wait()
     logger.close()
 
 

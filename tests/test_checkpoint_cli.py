@@ -79,3 +79,30 @@ def test_cli_train_resume_generate(tmp_path, capsys):
     main(["generate", "--seq", "16", "--prompt", "ab", "--steps", "3"])
     out = capsys.readouterr().out
     assert "ab" in out
+
+
+def test_async_writer_roundtrip_and_order(tmp_path):
+    from fft_tpu.train.checkpoint import AsyncCheckpointWriter
+    cfg = _tiny()
+    params = lm_init(jax.random.key(0), cfg)
+    state, _ = train_init(jax.random.key(1), params, TrainConfig())
+    with AsyncCheckpointWriter(tmp_path / "ck", keep=2) as w:
+        for s in (1, 2, 3):
+            w.save(state, s)
+    assert latest_step(tmp_path / "ck") == 3
+    kept = sorted(int(p.name) for p in (tmp_path / "ck").iterdir()
+                  if p.name.isdigit())
+    assert kept == [2, 3]
+    restored = restore_checkpoint(tmp_path / "ck", state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_writer_surfaces_write_errors(tmp_path):
+    from fft_tpu.train.checkpoint import AsyncCheckpointWriter
+    target = tmp_path / "notadir"
+    target.write_text("occupied")      # file where the ckpt dir must go
+    w = AsyncCheckpointWriter(target)
+    with pytest.raises(BaseException):
+        w.save({"x": np.zeros(3)}, 1)  # mkdir fails, or the join raises
+        w.wait()
