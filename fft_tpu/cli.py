@@ -92,7 +92,7 @@ def cmd_train_lm(args):
     logger = MetricsLogger(args.metrics, print_every=args.log_every)
     tokens_per_step = args.batch * args.seq
 
-    eval_fn = None
+    eval_fn = eval_batches = None
     if args.eval_every:
         from fft_tpu.train import lm_loss
         eval_fn = jax.jit(lambda p, b: lm_loss(p, cfg, b,
@@ -101,7 +101,31 @@ def cmd_train_lm(args):
         # overlaps with) training batches.
         eval_batches = make_batches(args.seed + 7919)
 
+    # Fault injection for recovery drills (train/supervisor.py): crash at
+    # step FFT_TPU_FAULT_STEP on fresh runs only (a transient failure — a
+    # resumed run sails past it).
+    import os
+    fault_step = int(os.environ.get("FFT_TPU_FAULT_STEP", "0"))
+
+    try:
+        _train_lm_loop(args, state, batch_sh, step_fn, batches, ckpt_writer,
+                       eval_fn, eval_batches, logger, start, tokens_per_step,
+                       fault_step)
+    finally:
+        # Drain any in-flight async checkpoint write even when the loop
+        # raises — a crash must not lose (or leave uncommitted) the last
+        # checkpoint the supervisor will resume from.
+        if ckpt_writer is not None:
+            ckpt_writer.wait()
+    logger.close()
+
+
+def _train_lm_loop(args, state, batch_sh, step_fn, batches, ckpt_writer,
+                   eval_fn, eval_batches, logger, start, tokens_per_step,
+                   fault_step):
     for i, batch in zip(range(start, args.steps), batches):
+        if fault_step and start == 0 and i + 1 == fault_step:
+            raise RuntimeError(f"injected fault at step {i + 1}")
         batch = jax.device_put(batch, batch_sh)
         if args.profile and i == start + 2:   # one post-compile step
             from fft_tpu.utils import profile_trace
@@ -125,8 +149,6 @@ def cmd_train_lm(args):
             ckpt_writer.save(state, i + 1)
     if ckpt_writer is not None:
         ckpt_writer.save(state, args.steps)
-        ckpt_writer.wait()
-    logger.close()
 
 
 def cmd_train_vit(args):

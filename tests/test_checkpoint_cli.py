@@ -106,3 +106,43 @@ def test_async_writer_surfaces_write_errors(tmp_path):
     with pytest.raises(BaseException):
         w.save({"x": np.zeros(3)}, 1)  # mkdir fails, or the join raises
         w.wait()
+
+
+def test_supervisor_recovers_from_injected_fault(tmp_path, monkeypatch):
+    """Fault at step 3 (fresh run), checkpoint every 2: the supervisor
+    restarts with --resume from step 2 and finishes all 4 steps."""
+    from fft_tpu.cli import main as cli_main
+    from fft_tpu.train.supervisor import supervise
+    ck = str(tmp_path / "ck")
+    argv = ["train-lm", "--steps", "4", "--batch", "2", "--seq", "16",
+            "--ckpt", ck, "--ckpt-every", "2", "--log-every", "1"]
+    monkeypatch.setenv("FFT_TPU_FAULT_STEP", "3")
+
+    attempts = []
+
+    def runner(a):
+        attempts.append(list(a))
+        try:
+            cli_main(a)
+            return 0
+        except RuntimeError:
+            return 1
+
+    restarts = supervise(argv, runner=runner, max_restarts=2)
+    assert restarts == 1
+    assert latest_step(ck) == 4
+    assert "--resume" in attempts[1] and "--resume" not in attempts[0]
+
+
+def test_supervisor_gives_up_after_max_restarts(tmp_path):
+    from fft_tpu.train.supervisor import supervise
+    calls = []
+
+    def runner(a):
+        calls.append(1)
+        return 9
+
+    with pytest.raises(RuntimeError, match="giving up"):
+        supervise(["train-lm", "--ckpt", str(tmp_path / "ck")],
+                  runner=runner, max_restarts=2)
+    assert len(calls) == 3
