@@ -108,7 +108,7 @@ def sliding_window_attention_cp(
 
     Requires the shard-local length to be a multiple of ``window``."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     b, n, h, hd = q.shape
     s = mesh.shape[seq_axis]
