@@ -103,10 +103,10 @@ def _apply_group(group_params, cfg: HybridConfig, h: jnp.ndarray,
                            cp_mesh=cp_mesh)
 
 
-def hybrid_apply(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
-                 rngs: Optional[dict] = None, deterministic: bool = True,
-                 cp_mesh=None):
-    """tokens (B, N) -> logits (B, N, vocab)."""
+def hybrid_hidden(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
+                  rngs: Optional[dict] = None, deterministic: bool = True,
+                  cp_mesh=None):
+    """tokens (B, N) -> final-LN hidden states (B, N, d)."""
     n = tokens.shape[-1]
     h = (params["tok_emb"][tokens] + params["pos_emb"][:n]).astype(
         cfg.block.compute_dtype)
@@ -118,8 +118,20 @@ def hybrid_apply(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
                             cp_mesh=cp_mesh), None
 
     h, _ = jax.lax.scan(group, h, (params["spectre"], params["attn"]))
-    h = layernorm_apply(params["ln_f"], h)
-    head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+    return layernorm_apply(params["ln_f"], h)
+
+
+def hybrid_head_matrix(params, cfg: HybridConfig):
+    return params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+
+
+def hybrid_apply(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
+                 rngs: Optional[dict] = None, deterministic: bool = True,
+                 cp_mesh=None):
+    """tokens (B, N) -> logits (B, N, vocab)."""
+    h = hybrid_hidden(params, cfg, tokens, rngs=rngs,
+                      deterministic=deterministic, cp_mesh=cp_mesh)
+    head = hybrid_head_matrix(params, cfg)
     return (h @ head.astype(h.dtype)).astype(jnp.float32)
 
 

@@ -74,6 +74,13 @@ def lm_loss(params, model_cfg, tokens: jnp.ndarray, *,
     h = lm_hidden(params, model_cfg, inputs, rngs=rngs,
                   deterministic=deterministic)
     head = lm_head_matrix(params, model_cfg)
+    return chunked_softmax_ce(h, head, targets, logits_chunk)
+
+
+def chunked_softmax_ce(h, head, targets, logits_chunk: int = 2048):
+    """Mean next-token CE from hidden states, without ever materializing
+    the full (B, N, vocab) fp32 logits tensor: the head matmul + softmax
+    runs in rematerialized sequence chunks."""
     n = h.shape[1]
     chunk = min(logits_chunk, n)
     if n % chunk:
@@ -98,14 +105,16 @@ def lm_loss(params, model_cfg, tokens: jnp.ndarray, *,
 
 def hybrid_loss(params, model_cfg, tokens: jnp.ndarray, *,
                 rngs: Optional[dict] = None, deterministic: bool = False,
-                cp_mesh=None):
+                cp_mesh=None, logits_chunk: int = 2048):
     """Next-token cross entropy for the hybrid SPECTRE+SWA LM (config 5)."""
-    from fft_tpu.models.hybrid import hybrid_apply
+    from fft_tpu.models.hybrid import hybrid_head_matrix, hybrid_hidden
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
-    logits = hybrid_apply(params, model_cfg, inputs, rngs=rngs,
-                          deterministic=deterministic, cp_mesh=cp_mesh)
-    losses = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
-    return jnp.mean(losses)
+    h = hybrid_hidden(params, model_cfg, inputs, rngs=rngs,
+                      deterministic=deterministic, cp_mesh=cp_mesh)
+    head = hybrid_head_matrix(params, model_cfg)
+    # chunked CE: at the hybrid's seq 32k x 50k vocab the full fp32
+    # logits tensor alone is 6.6 GB/batch-row — never materialize it
+    return chunked_softmax_ce(h, head, targets, logits_chunk)
 
 
 def hybrid_train_step(state: TrainState, batch: jnp.ndarray, *, model_cfg,

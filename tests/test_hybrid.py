@@ -192,3 +192,36 @@ def test_hybrid_cp_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(ref_state.params),
                     jax.tree.leaves(got_state.params)):
         assert rel_err(np.asarray(b), np.asarray(a)) < 1e-4
+
+
+def test_hybrid_cp_chunked_ce_matches_single_device():
+    """Multi-chunk CE (logits_chunk < shard length) under the CP mesh ==
+    single-device: the CE scan's dynamic_slice + its scatter-add adjoint
+    must survive the sequence-sharded hidden states."""
+    import jax.numpy as jnp
+    from fft_tpu.parallel import make_mesh
+    from fft_tpu.train.loop import hybrid_loss
+
+    seq, window = 64, 16
+    cfg = HybridConfig(
+        vocab_size=32, num_groups=2, spectre_per_group=1,
+        block=SpectreConfig(embed_dim=32, num_heads=4, n_fft=seq,
+                            pooling_type="mean", wavelet_on_rate=0.0,
+                            causal=True, causal_chunk=16,
+                            causal_impl="segmented", fft_impl="matmul"),
+        attn_heads=4, attn_window=window, max_seq=seq)
+    params = hybrid_init(jax.random.key(0), cfg)
+    batch = jax.random.randint(jax.random.key(2), (2, seq + 1), 0, 32)
+
+    def loss(p, mesh):
+        return hybrid_loss(p, cfg, batch, deterministic=True,
+                           cp_mesh=mesh, logits_chunk=8)  # 8 chunks
+
+    ref_l, ref_g = jax.jit(jax.value_and_grad(
+        lambda p: loss(p, None)))(params)
+    mesh = make_mesh(data=1, seq=4, model=1)
+    got_l, got_g = jax.jit(jax.value_and_grad(
+        lambda p: loss(p, mesh)))(params)
+    assert abs(float(ref_l) - float(got_l)) < 1e-5
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        assert rel_err(np.asarray(b), np.asarray(a)) < 1e-4
