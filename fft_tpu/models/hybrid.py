@@ -37,6 +37,10 @@ class HybridConfig:
     attn_window: int
     max_seq: int
     tie_embeddings: bool = True
+    # rematerialize each (SPECTRE + SWA) group in backward — required to
+    # train config 5 at long context on one chip (models/lm.py:36 does
+    # the same per block)
+    remat: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -57,7 +61,7 @@ def hybrid_1b_config(vocab_size: int = 50432, seq: int = 32768
             embed_dim=2048, num_heads=16, n_fft=seq, pooling_type="mean",
             wavelet_on_rate=0.0, causal=True, causal_chunk=1024,
             compute_dtype="bfloat16"),
-        attn_heads=16, attn_window=1024, max_seq=seq,
+        attn_heads=16, attn_window=1024, max_seq=seq, remat=True,
     )
 
 
@@ -117,6 +121,8 @@ def hybrid_hidden(params, cfg: HybridConfig, tokens: jnp.ndarray, *,
                             cfg, h, deterministic=deterministic,
                             cp_mesh=cp_mesh), None
 
+    if cfg.remat:
+        group = jax.checkpoint(group)
     h, _ = jax.lax.scan(group, h, (params["spectre"], params["attn"]))
     return layernorm_apply(params["ln_f"], h)
 

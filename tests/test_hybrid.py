@@ -225,3 +225,29 @@ def test_hybrid_cp_chunked_ce_matches_single_device():
     assert abs(float(ref_l) - float(got_l)) < 1e-5
     for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
         assert rel_err(np.asarray(b), np.asarray(a)) < 1e-4
+
+
+def test_hybrid_remat_matches():
+    """remat=True (per-group jax.checkpoint) changes memory, not math."""
+    import dataclasses
+    from fft_tpu.train.loop import hybrid_loss
+
+    seq = 32
+    cfg = HybridConfig(
+        vocab_size=32, num_groups=2, spectre_per_group=1,
+        block=SpectreConfig(embed_dim=32, num_heads=4, n_fft=seq,
+                            pooling_type="mean", wavelet_on_rate=0.0,
+                            causal=True, causal_chunk=8,
+                            causal_impl="segmented", fft_impl="matmul"),
+        attn_heads=4, attn_window=8, max_seq=seq)
+    params = hybrid_init(jax.random.key(0), cfg)
+    batch = jax.random.randint(jax.random.key(2), (2, seq + 1), 0, 32)
+    lg = jax.jit(lambda p, c: jax.value_and_grad(
+        lambda q: hybrid_loss(q, c, batch, deterministic=True))(p),
+        static_argnums=(1,))
+    ref_l, ref_g = lg(params, cfg)
+    got_l, got_g = lg(params, dataclasses.replace(cfg, remat=True))
+    assert abs(float(ref_l) - float(got_l)) < 1e-6
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
