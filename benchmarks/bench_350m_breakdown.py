@@ -69,8 +69,13 @@ def main():
     batch = jax.random.randint(jax.random.key(1), (1, SEQ + 1), 0, VOCAB)
     out = {}
 
+    # Every measured fn must mix the scan carry ``c`` into its INPUTS —
+    # otherwise the computation is loop-invariant and XLA hoists it out
+    # of the timing chain (first version of this script under-reported
+    # ``step`` and ``loss_fwd`` exactly that way).
     def step_fn(st, bt, c):
-        s2, m = train_step(st, bt, model_cfg=cfg, optimizer=opt)
+        s2, m = train_step(st, bt + (c * 0).astype(bt.dtype),
+                           model_cfg=cfg, optimizer=opt)
         return m["loss"][None] + c
     out["step"] = slope(step_fn, state, batch)
 
@@ -81,13 +86,23 @@ def main():
     out["hidden_fwd"] = slope(hid_fn, params, batch)
 
     def loss_fn(p, bt, c):
+        bt = bt + (c * 0).astype(bt.dtype)
         return lm_loss(p, cfg, bt, deterministic=True)[None] + c
     out["loss_fwd"] = slope(loss_fn, params, batch)
 
     def loss_fb(p, bt, c):
+        bt = bt + (c * 0).astype(bt.dtype)
         g = jax.grad(lambda q: lm_loss(q, cfg, bt, deterministic=True))(p)
         return jax.tree.leaves(g)[0].reshape(-1)[:1] + c
     out["loss_fwdbwd"] = slope(loss_fb, params, batch)
+
+    def hid_fb(p, bt, c):
+        bt = bt + (c * 0).astype(bt.dtype)
+        g = jax.grad(lambda q: jnp.sum(
+            lm_hidden(q, cfg, bt[:, :-1], deterministic=True
+                      ).astype(jnp.float32) ** 2))(p)
+        return jax.tree.leaves(g)[0].reshape(-1)[:1] + c
+    out["hidden_fwdbwd"] = slope(hid_fb, params, batch)
 
     x = jax.random.normal(jax.random.key(3), (1, SEQ, bcfg.embed_dim),
                           jnp.bfloat16)
