@@ -30,13 +30,15 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--vocab", type=int, default=50432)
     ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--mu-bf16", action="store_true",
+                    help="bf16 AdamW first moment (train.loop mu_dtype)")
     args = ap.parse_args()
 
     cfg = hybrid_1b_config(vocab_size=args.vocab, seq=args.seq)
     cfg = dataclasses.replace(cfg, num_groups=args.groups)
     params = hybrid_init(jax.random.key(0), cfg)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    opt = optax.adamw(1e-4)
+    opt = optax.adamw(1e-4, mu_dtype="bfloat16" if args.mu_bf16 else None)
     state = TrainState(params=params, opt_state=opt.init(params),
                        step=jnp.asarray(0, jnp.int32),
                        rng=jax.random.key_data(jax.random.key(2)))
@@ -77,6 +79,7 @@ def main():
     print(json.dumps({
         "model": "hybrid-1b", "params": n_params,
         "seq": args.seq, "batch": args.batch, "groups": args.groups,
+        "mu_bf16": args.mu_bf16,
         "s_per_step": round(s, 3),
         "tok_s": round(args.batch * args.seq / s),
     }), flush=True)

@@ -47,14 +47,34 @@ def cmd_train_lm(args):
     from fft_tpu.utils import MetricsLogger
 
     cfg = _lm_config(args)
+    if args.sp > 1 and cfg.block.causal:
+        # SP needs the shard-local segmented causal algorithm
+        # (layers/causal_seg.py); the 2N-FFT chunked path is global.
+        cfg = dataclasses.replace(
+            cfg, block=dataclasses.replace(cfg.block,
+                                           causal_impl="segmented"))
     tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps)
     params = lm_init(jax.random.key(args.seed), cfg)
     state, opt = train_init(jax.random.key(args.seed + 1), params, tcfg)
 
-    mesh = make_mesh(data=args.dp, seq=args.sp, model=args.tp)
-    state_sh = lm_state_shardings(mesh, state)
-    batch_sh = lm_batch_sharding(mesh)
-    state = jax.device_put(state, state_sh)
+    pp_mesh = None
+    if getattr(args, "pp", 1) > 1:
+        # PP uses its own 'stage' mesh over the first pp devices; the
+        # dp/sp/tp mesh must stay trivial (mixing device sets in one jit
+        # is not supported).
+        assert args.dp == args.sp == args.tp == 1, (
+            "--pp composes with dp/sp/tp via multi-mesh jit, which this "
+            "CLI keeps simple: use --pp alone")
+        assert cfg.num_layers % args.pp == 0, (cfg.num_layers, args.pp)
+        from jax.sharding import Mesh
+        pp_mesh = Mesh(np.asarray(jax.devices()[:args.pp]), ("stage",))
+        mesh = None
+        state_sh = batch_sh = None
+    else:
+        mesh = make_mesh(data=args.dp, seq=args.sp, model=args.tp)
+        state_sh = lm_state_shardings(mesh, state)
+        batch_sh = lm_batch_sharding(mesh)
+        state = jax.device_put(state, state_sh)
 
     start = 0
     if args.resume and args.ckpt and latest_step(args.ckpt) is not None:
@@ -66,7 +86,8 @@ def cmd_train_lm(args):
     # HLO-temp copies of params + AdamW moments (~2.1 GB at 350M) and the
     # seq-32k config overflows the chip
     step_fn = jax.jit(lambda s, b: train_step(s, b, model_cfg=cfg,
-                                              optimizer=opt),
+                                              optimizer=opt, mesh=mesh,
+                                              pp_mesh=pp_mesh),
                       in_shardings=(state_sh, batch_sh),
                       out_shardings=(state_sh, None),
                       donate_argnums=(0,))
@@ -114,9 +135,19 @@ def cmd_train_lm(args):
     finally:
         # Drain any in-flight async checkpoint write even when the loop
         # raises — a crash must not lose (or leave uncommitted) the last
-        # checkpoint the supervisor will resume from.
+        # checkpoint the supervisor will resume from.  When a training
+        # exception is already propagating, a deferred background-write
+        # error must not replace it (the supervisor/operator needs the
+        # real crash cause): log it instead.
         if ckpt_writer is not None:
-            ckpt_writer.wait()
+            in_flight_exc = sys.exc_info()[0] is not None
+            try:
+                ckpt_writer.wait()
+            except Exception as ckpt_err:
+                if not in_flight_exc:
+                    raise
+                print(f"async checkpoint write failed during crash "
+                      f"handling: {ckpt_err!r}", file=sys.stderr)
     logger.close()
 
 
@@ -147,41 +178,154 @@ def _train_lm_loop(args, state, batch_sh, step_fn, batches, ckpt_writer,
             # snapshot-to-host is synchronous; the disk write overlaps the
             # next training steps
             ckpt_writer.save(state, i + 1)
-    if ckpt_writer is not None:
+    # Final save, unless the loop just checkpointed the last step or the
+    # run resumed past its end (writing the restored state under a
+    # directory named args.steps would mislabel it).
+    if (ckpt_writer is not None and start < args.steps
+            and args.steps % args.ckpt_every != 0):
         ckpt_writer.save(state, args.steps)
+
+
+def cmd_train_hybrid(args):
+    """Train the hybrid SPECTRE+SWA LM (BASELINE config 5).  ``--sp N``
+    runs context-parallel: SWA layers exchange a KV halo over the 'seq'
+    axis, SPECTRE layers sequence-shard via GSPMD (both inside
+    hybrid_train_step's cp_mesh path)."""
+    from fft_tpu.models.hybrid import (hybrid_1b_config, hybrid_init,
+                                       hybrid_tiny_config)
+    from fft_tpu.parallel import make_mesh, shardings_for_tree
+    from fft_tpu.train import TrainConfig, train_init
+    from fft_tpu.train.loop import hybrid_loss, hybrid_train_step
+    from fft_tpu.train.checkpoint import (AsyncCheckpointWriter, latest_step,
+                                          restore_checkpoint)
+    from fft_tpu.train.data import CharDataset
+    from fft_tpu.utils import MetricsLogger
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = (hybrid_1b_config(seq=args.seq) if args.preset == "1b"
+           else hybrid_tiny_config(seq=args.seq))
+    if args.sp > 1:
+        assert (args.seq // args.sp) % cfg.attn_window == 0, (
+            "shard-local length must divide into SWA windows")
+        cfg = dataclasses.replace(
+            cfg, block=dataclasses.replace(cfg.block,
+                                           causal_impl="segmented"))
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg, block=dataclasses.replace(cfg.block,
+                                           compute_dtype="bfloat16"))
+    tcfg = TrainConfig(learning_rate=args.lr, total_steps=args.steps)
+    params = hybrid_init(jax.random.key(args.seed), cfg)
+    state, opt = train_init(jax.random.key(args.seed + 1), params, tcfg)
+
+    mesh = make_mesh(data=args.dp, seq=args.sp, model=1)
+    cp_mesh = mesh if args.sp > 1 else None
+    state_sh = shardings_for_tree(mesh, state)
+    batch_sh = NamedSharding(mesh, P("data", None))
+    state = jax.device_put(state, state_sh)
+
+    start = 0
+    if args.resume and args.ckpt and latest_step(args.ckpt) is not None:
+        state = restore_checkpoint(args.ckpt, state)
+        start = int(np.asarray(state.step))
+        print(f"resumed at step {start}")
+
+    step_fn = jax.jit(lambda s, b: hybrid_train_step(
+        s, b, model_cfg=cfg, optimizer=opt, cp_mesh=cp_mesh),
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,))
+
+    data = CharDataset(path=args.data)
+    batches = data.batches(args.batch, args.seq, seed=args.seed + start)
+    ckpt_writer = (AsyncCheckpointWriter(args.ckpt) if args.ckpt else None)
+    logger = MetricsLogger(args.metrics, print_every=args.log_every)
+
+    eval_fn = eval_batches = None
+    if args.eval_every:
+        eval_fn = jax.jit(lambda p, b: hybrid_loss(p, cfg, b,
+                                                   deterministic=True,
+                                                   cp_mesh=cp_mesh))
+        eval_batches = data.batches(args.batch, args.seq,
+                                    seed=args.seed + 7919)
+
+    try:
+        _train_lm_loop(args, state, batch_sh, step_fn, batches, ckpt_writer,
+                       eval_fn, eval_batches, logger, start,
+                       args.batch * args.seq, 0)
+    finally:
+        if ckpt_writer is not None:
+            in_flight_exc = sys.exc_info()[0] is not None
+            try:
+                ckpt_writer.wait()
+            except Exception as ckpt_err:
+                if not in_flight_exc:
+                    raise
+                print(f"async checkpoint write failed during crash "
+                      f"handling: {ckpt_err!r}", file=sys.stderr)
+    logger.close()
 
 
 def cmd_train_vit(args):
     import optax
-    from fft_tpu.config import SpectreConfig
     from fft_tpu.models.vit import ViTConfig, vit_init
+    from fft_tpu.train import TrainState
+    from fft_tpu.train.checkpoint import (AsyncCheckpointWriter, latest_step,
+                                          restore_checkpoint)
     from fft_tpu.train.loop import classification_loss
     from fft_tpu.utils import MetricsLogger
 
     cfg = ViTConfig(num_classes=args.classes, num_layers=args.layers)
     params = vit_init(jax.random.key(args.seed), cfg)
     opt = optax.adamw(args.lr)
-    opt_state = opt.init(params)
-    rng = np.random.default_rng(args.seed)
+    state = TrainState(params=params, opt_state=opt.init(params),
+                       step=jnp.asarray(0, jnp.int32),
+                       rng=jax.random.key_data(jax.random.key(args.seed)))
     logger = MetricsLogger(args.metrics, print_every=args.log_every)
 
-    @jax.jit
-    def step(params, opt_state, imgs, labels, key):
-        loss, grads = jax.value_and_grad(classification_loss)(
-            params, cfg, imgs, labels, rngs={"dropout": key},
-            deterministic=False)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    start = 0
+    if args.resume and args.ckpt and latest_step(args.ckpt) is not None:
+        state = restore_checkpoint(args.ckpt, state)
+        start = int(np.asarray(state.step))
+        print(f"resumed at step {start}")
+    ckpt_writer = (AsyncCheckpointWriter(args.ckpt) if args.ckpt else None)
 
-    key = jax.random.key(args.seed)
-    for i in range(args.steps):
-        imgs = jnp.asarray(rng.standard_normal(
-            (args.batch, cfg.image_size, cfg.image_size, 3), np.float32))
-        labels = jnp.asarray(rng.integers(0, args.classes, args.batch))
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, imgs, labels, sub)
-        if i % args.log_every == 0:
-            logger.log(i, {"loss": loss})
+    @jax.jit
+    def step(state, imgs, labels):
+        key, sub = jax.random.split(jax.random.wrap_key_data(state.rng))
+        loss, grads = jax.value_and_grad(classification_loss)(
+            state.params, cfg, imgs, labels, rngs={"dropout": sub},
+            deterministic=False)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        return TrainState(optax.apply_updates(state.params, updates),
+                          opt_state, state.step + 1,
+                          jax.random.key_data(key)), loss
+
+    # resumed runs continue the data stream from the restored step
+    rng = np.random.default_rng(args.seed + start)
+    try:
+        for i in range(start, args.steps):
+            imgs = jnp.asarray(rng.standard_normal(
+                (args.batch, cfg.image_size, cfg.image_size, 3), np.float32))
+            labels = jnp.asarray(rng.integers(0, args.classes, args.batch))
+            state, loss = step(state, imgs, labels)
+            if i % args.log_every == 0:
+                logger.log(i, {"loss": loss})
+            if ckpt_writer is not None and (i + 1) % args.ckpt_every == 0:
+                ckpt_writer.save(state, i + 1)
+        if (ckpt_writer is not None and start < args.steps
+                and args.steps % args.ckpt_every != 0):
+            ckpt_writer.save(state, args.steps)
+    finally:
+        if ckpt_writer is not None:
+            in_flight_exc = sys.exc_info()[0] is not None
+            try:
+                ckpt_writer.wait()
+            except Exception as ckpt_err:
+                if not in_flight_exc:
+                    raise
+                print(f"async checkpoint write failed during crash "
+                      f"handling: {ckpt_err!r}", file=sys.stderr)
     logger.close()
 
 
@@ -277,8 +421,32 @@ def main(argv=None):
     lm.add_argument("--dp", type=int, default=1)
     lm.add_argument("--sp", type=int, default=1)
     lm.add_argument("--tp", type=int, default=1)
+    lm.add_argument("--pp", type=int, default=1,
+                    help="pipeline stages (uses a dedicated 'stage' mesh)")
     lm.add_argument("--seed", type=int, default=0)
     lm.set_defaults(fn=cmd_train_lm)
+
+    hy = sub.add_parser("train-hybrid")
+    hy.add_argument("--preset", default="tiny", choices=["tiny", "1b"])
+    hy.add_argument("--steps", type=int, default=1000)
+    hy.add_argument("--batch", type=int, default=1)
+    hy.add_argument("--seq", type=int, default=2048)
+    hy.add_argument("--lr", type=float, default=1e-4)
+    hy.add_argument("--data", default=None)
+    hy.add_argument("--ckpt", default=None)
+    hy.add_argument("--ckpt-every", type=int, default=500)
+    hy.add_argument("--resume", action="store_true")
+    hy.add_argument("--bf16", action="store_true")
+    hy.add_argument("--metrics", default=None)
+    hy.add_argument("--log-every", type=int, default=10)
+    hy.add_argument("--eval-every", type=int, default=0)
+    hy.add_argument("--profile", default=None)
+    hy.add_argument("--dp", type=int, default=1)
+    hy.add_argument("--sp", type=int, default=1,
+                    help="context parallelism (SWA halo exchange + "
+                         "sequence-sharded SPECTRE)")
+    hy.add_argument("--seed", type=int, default=0)
+    hy.set_defaults(fn=cmd_train_hybrid)
 
     vit = sub.add_parser("train-vit")
     vit.add_argument("--steps", type=int, default=100)
@@ -286,6 +454,9 @@ def main(argv=None):
     vit.add_argument("--classes", type=int, default=1000)
     vit.add_argument("--layers", type=int, default=12)
     vit.add_argument("--lr", type=float, default=3e-4)
+    vit.add_argument("--ckpt", default=None)
+    vit.add_argument("--ckpt-every", type=int, default=100)
+    vit.add_argument("--resume", action="store_true")
     vit.add_argument("--metrics", default=None)
     vit.add_argument("--log-every", type=int, default=10)
     vit.add_argument("--seed", type=int, default=0)

@@ -153,11 +153,18 @@ def _decode_descriptor(params, cfg: SpectreHeadConfig, cache: PrefixFFTCache):
       the chronologically-ordered ring buffer — the streaming counterpart
       the reference lacks (its decode always mean-pools regardless of
       pooling_type).  Exactly matches forward once the window is full;
-      costs O(N·d) per step instead of O(d).
+      costs O(N·d) per step instead of O(d).  Before the window fills,
+      tokens sit at the FRONT (positions 0..t) with zeros padding the tail
+      — the same layout the causal training gates pool over
+      (layers/spectre.py:causal_chunk_gates), so chunk-1 causal training ==
+      decode holds for every pooler.
     """
     if cfg.decode_descriptor == "window":
         from fft_tpu.layers.spectre import _pool_descriptor
-        shift = -jnp.mod(cache.t + 1, cache.n_fft)
+        # pre-wrap the buffer is already [q_0..q_t, 0...]; post-wrap roll
+        # the oldest token to the front
+        shift = jnp.where(cache.t < cache.n_fft, 0,
+                          -jnp.mod(cache.t + 1, cache.n_fft))
         q_seq = jnp.roll(cache.q_buf, shift, axis=-2)      # (B, H, N, hd)
         return jax.vmap(lambda hp, qs: _pool_descriptor(hp, cfg, qs),
                         in_axes=(0, 1), out_axes=1)(params, q_seq)

@@ -2029,7 +2029,7 @@ def _bwd_vmem_ok_v3(nc: int, chunk: int, dblk: int, itemsize: int,
     vspec = 2 * f2p * dblk * 4
     acc = 2 * f2p * dblk * 4
     ovout = 2 * chunk * dblk * itemsize * 2
-    okout = 2 * f2p * max(cols, 128) * scr_item * 2
+    okout = f2p * max(2 * cols, 128) * scr_item * 2
     amat = 6 * chunk * 2 * dblk * 4          # staged inverse stage buffers
     total = (ybin + vwin + kblk + rbar + vspec + acc + ovout + okout
              + amat + 6 * 1024 * 1024)
@@ -2074,7 +2074,7 @@ def _make_fused_bwd_kernel_v3(nc: int, chunk: int, cols: int, precision,
                w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
                afr_ref, afi_ref, bfr_ref, bfi_ref,
                sfr_ref, sfi_ref, sgr_ref, sgi_ref, snyq_ref,
-               ov_ref, okr_ref, oki_ref,
+               ov_ref, ok_ref,
                rbar, ibar, vr_s, vi_s, accr, acci):
         j = pl.program_id(2)
         dl = pl.program_id(3)
@@ -2160,9 +2160,15 @@ def _make_fused_bwd_kernel_v3(nc: int, chunk: int, cols: int, precision,
             acci[:] = acci[:] + (gr * ri - gi * rr)
             vr = vr_s[:]
             vi = vi_s[:]
-            ek = ek_ref[0]                            # (dblk, cols)
-            okr_ref[0, 0, 0] = mm(rr * vr + ri * vi, ek).astype(okr_ref.dtype)
-            oki_ref[0, 0, 0] = mm(ri * vr - rr * vi, ek).astype(oki_ref.dtype)
+            # one lane-full store: [re | im] K-grad partials concatenated on
+            # the lane axis through a block-diag dblk-reduce — two separate
+            # (f2p, cols) outputs each pad cols -> 128 lanes in HBM (2.0x,
+            # 8.3 GB at the 1B seq-32k shape; this layout stores the same
+            # bytes with zero padding)
+            ek2 = ek_ref[0]                           # (2*dblk, 2*cols)
+            a = jnp.concatenate([rr * vr + ri * vi, ri * vr - rr * vi],
+                                axis=-1)              # (f2p, 2*dblk)
+            ok_ref[0, 0, 0] = mm(a, ek2).astype(ok_ref.dtype)
 
         @pl.when(dl == nc - 1)
         def _():
@@ -2255,12 +2261,15 @@ def _fused_causal_bwd_call_v3(v, kfr, kfi, ybar, *, chunk, cols,
 
     njb = d // dblk
     e = np.zeros((njb, cols, dblk), np.float32)
-    ek = np.zeros((njb, dblk, cols), np.float32)
+    # block-diag dblk->cols reduce: maps the kernel's lane-concatenated
+    # [re | im] partials (f2p, 2*dblk) to (f2p, 2*cols) in one matmul
+    ek2 = np.zeros((njb, 2 * dblk, 2 * cols), np.float32)
     for jb in range(njb):
         for l in range(dblk):
             g = (jb * dblk + l) // d_g
             e[jb, g, l] = 1.0
-            ek[jb, l, g] = 1.0
+            ek2[jb, l, g] = 1.0
+            ek2[jb, dblk + l, cols + g] = 1.0
 
     sfr = s_col * np.asarray(cst["afr"], np.float32)
     sfi = s_col * np.asarray(cst["afi"], np.float32)
@@ -2298,13 +2307,13 @@ def _fused_causal_bwd_call_v3(v, kfr, kfi, ybar, *, chunk, cols,
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT)
-    ov, okr, oki = pl.pallas_call(
+    ov, ok = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((b, nc, 2 * chunk, d), v.dtype),
-            jax.ShapeDtypeStruct((b, njb, nc * (nc + 1), f2p, cols), kdt),
-            jax.ShapeDtypeStruct((b, njb, nc * (nc + 1), f2p, cols), kdt),
+            jax.ShapeDtypeStruct((b, njb, nc * (nc + 1), f2p, 2 * cols),
+                                 kdt),
         ),
         in_specs=[
             pl.BlockSpec((1, n, dblk), lambda i, jd, jj, dd: (i, 0, jd),
@@ -2329,20 +2338,15 @@ def _fused_causal_bwd_call_v3(v, kfr, kfi, ybar, *, chunk, cols,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cols, dblk), lambda i, jd, jj, dd: (jd, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dblk, cols), lambda i, jd, jj, dd: (jd, 0, 0),
+            pl.BlockSpec((1, 2 * dblk, 2 * cols),
+                         lambda i, jd, jj, dd: (jd, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + const_specs,
         out_specs=(
             pl.BlockSpec((1, 1, 2 * chunk, dblk),
                          lambda i, jd, jj, dd: (i, jj, 0, jd),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, f2p, cols),
-                         lambda i, jd, jj, dd: (
-                             i, jd,
-                             dd * (nc + 1) + jnp.minimum(jj + dd, nc),
-                             0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, f2p, cols),
+            pl.BlockSpec((1, 1, 1, f2p, 2 * cols),
                          lambda i, jd, jj, dd: (
                              i, jd,
                              dd * (nc + 1) + jnp.minimum(jj + dd, nc),
@@ -2360,7 +2364,7 @@ def _fused_causal_bwd_call_v3(v, kfr, kfi, ybar, *, chunk, cols,
         interpret=interpret,
         **kwargs,
     )(ybar.astype(v.dtype), v_pad, v_pad, kfr, kfi, jnp.asarray(sel),
-      jnp.asarray(e), jnp.asarray(ek), *const_args)
+      jnp.asarray(e), jnp.asarray(ek2), *const_args)
 
     # overlap-add the per-segment 2C taps onto the two chunks each covers
     seg = ov.astype(jnp.float32)
@@ -2368,11 +2372,12 @@ def _fused_causal_bwd_call_v3(v, kfr, kfi, ybar, *, chunk, cols,
         seg[:, 1:, :chunk], ((0, 0), (0, 1), (0, 0), (0, 0)))
     vbar = vbar.reshape(b, n, d).astype(v.dtype)
 
-    # K grads: sum the dblk partials, drop the trash row, zero the c < delta
-    # blocks (no primal term -> no step ever writes them; the buffers hold
-    # whatever the DMA flushed), fold (c, G) back onto the producer's lanes
-    okr = jnp.sum(okr.astype(jnp.float32), axis=1)
-    oki = jnp.sum(oki.astype(jnp.float32), axis=1)
+    # K grads: split the lane-concatenated [re | im] partials, sum the dblk
+    # partials, drop the trash row, zero the c < delta blocks (no primal
+    # term -> no step ever writes them; the buffers hold whatever the DMA
+    # flushed), fold (c, G) back onto the producer's lanes
+    ok = jnp.sum(ok.astype(jnp.float32), axis=1)
+    okr, oki = ok[..., :cols], ok[..., cols:]
     tri = jnp.asarray(np.triu(np.ones((nc, nc), bool))
                       )[None, :, :, None, None]       # [dl, c] = c >= dl
     okr = jnp.where(tri, okr.reshape(b, nc, nc + 1, f2p, cols)

@@ -78,6 +78,12 @@ def _banded_block_attention(qb, kb, vb, k_halo, v_halo, gi0):
     dist = qi + w - kj
     band = (dist >= 0) & (dist < w)                        # (W, 2W)
 
+    # checkpointed: without it the backward of the lax.map saves every
+    # block's f32 scores + probs + mask as stacked scan residuals —
+    # (nb, B, H, W, 2W) in f32+bf16+pred, 3.5 GB at the 1B seq-16k shape,
+    # which alone overflowed the chip.  Recomputing one einsum+softmax per
+    # block in backward costs a few percent of the step.
+    @jax.checkpoint
     def one_block(args):
         i, qc, kc, vc = args
         s = jnp.einsum("bqhd,bkhd->bhqk", qc, kc,

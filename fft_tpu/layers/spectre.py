@@ -113,24 +113,60 @@ def _pool_descriptor(params, cfg: SpectreHeadConfig, q: jnp.ndarray):
 
 def causal_chunk_gates(params, cfg: SpectreHeadConfig, q: jnp.ndarray,
                        n_chunks: int, causal_chunk: int) -> jnp.ndarray:
-    """Per-chunk gates from causal cumulative descriptors: tokens up to and
-    including the chunk's FIRST position — exactly the decode cache's sum_q
-    at that step, so causal_chunk=1 reproduces decode bit-for-bit.  (Divide
-    by n_fft as the decode path does; harmless post-LN.)
+    """Per-chunk gates from causal cumulative descriptors: the configured
+    pooler (mean / dct / attention) over tokens up to and including the
+    chunk's FIRST position, zero-padded to the n_fft window — exactly the
+    decode-side streaming descriptor at that step (``sum_q/N`` for mean,
+    the ``decode_descriptor="window"`` pooler for dct/attention), so
+    causal_chunk=1 reproduces decode bit-for-bit.
 
-    Computed from per-chunk sums + a tiny nc-length exclusive prefix (a
-    full-sequence cumsum lowers to a slow sequential scan on TPU).
+    All three poolers reduce to chunk-cumulative prefix sums (a
+    full-sequence cumsum lowers to a slow sequential scan on TPU):
+    - mean: prefix sum of q, divided by n_fft as decode does.
+    - dct: dct_pool is LINEAR — prefix sum of q weighted by the mean of
+      the first-K DCT-II basis rows (ops/dct.py:dct_pool_weights).
+    - attention: softmax over the zero-padded window splits into a prefix
+      sum of exp(score)*q (zero-pad slots contribute zero vectors to the
+      numerator) and a denominator of prefix-summed exp(score) plus
+      (n_fft - tokens) * exp(score(0)) for the padding slots.
+
     Returns (B, nc, G, F_half) complex."""
     b, n, d = q.shape
     pad_n = n_chunks * causal_chunk
-    q_pad = jnp.pad(q, ((0, 0), (0, pad_n - n), (0, 0))) if pad_n > n else q
-    chunk_sums = jnp.sum(
-        q_pad.reshape(b, n_chunks, causal_chunk, d), axis=2)  # (B, nc, d)
-    excl_prefix = jnp.cumsum(chunk_sums, axis=1) - chunk_sums
     starts = jnp.arange(n_chunks) * causal_chunk
-    first_tok = jnp.take(q, starts, axis=-2)                 # (B, nc, d)
-    prev = excl_prefix + first_tok
-    descr = layernorm_apply(params["q_norm"], prev / cfg.n_fft)
+
+    def pad(x):
+        return (jnp.pad(x, ((0, 0), (0, pad_n - n), (0, 0)))
+                if pad_n > n else x)
+
+    def chunk_cum(x):
+        """Inclusive-of-first-token chunk prefix: sum over tokens
+        [0, c*chunk] for each chunk c.  x: (B, pad_n, c) -> (B, nc, c)."""
+        sums = jnp.sum(x.reshape(b, n_chunks, causal_chunk, -1), axis=2)
+        excl = jnp.cumsum(sums, axis=1) - sums
+        return excl + jnp.take(x, starts, axis=-2)
+
+    if cfg.pooling_type == "dct":
+        from fft_tpu.ops.dct import dct_pool_weights
+        wbar = dct_pool_weights(cfg.n_fft)[:n].astype(q.dtype)
+        descr = chunk_cum(pad(q * wbar[:, None]))
+    elif cfg.pooling_type == "attention":
+        p = params["pool"]
+        s = linear_apply(p["fc2"],
+                         gelu_exact(linear_apply(p["fc1"], q)))  # (B, n, 1)
+        zero_tok = jnp.zeros((d,), q.dtype)
+        s0 = linear_apply(p["fc2"],
+                          gelu_exact(linear_apply(p["fc1"], zero_tok)))[0]
+        m = jnp.maximum(jnp.max(s, axis=(-2, -1), keepdims=True), s0)
+        es = jnp.exp(s - m)
+        numer = chunk_cum(pad(q * es))                       # (B, nc, d)
+        denom = chunk_cum(pad(es))                           # (B, nc, 1)
+        n_pad_slots = (cfg.n_fft - (starts + 1)).astype(q.dtype)
+        denom = denom + n_pad_slots[None, :, None] * jnp.exp(s0 - m)
+        descr = numer / denom
+    else:
+        descr = chunk_cum(pad(q)) / cfg.n_fft
+    descr = layernorm_apply(params["q_norm"], descr)
     return spectre_gate(params, cfg, descr)                  # (B, nc, G, F)
 
 
@@ -160,13 +196,13 @@ def spectre_head_apply_causal(
     - Spectral memory adds irfft(memory)[p] in time, matching both the
       non-causal forward and decode (for p < n_fft).
 
-    Requires N <= n_fft and mean pooling (streaming-consistent); the wavelet
+    Requires N <= n_fft.  All three poolers are supported as streaming
+    (chunk-cumulative) descriptors — see causal_chunk_gates; dct/attention
+    match decode_descriptor="window" on the decode side.  The wavelet
     branch is non-causal and must be off in causal models.
     """
     b, n, d = x.shape
     assert n <= cfg.n_fft, f"sequence {n} exceeds n_fft {cfg.n_fft}"
-    assert cfg.pooling_type == "mean", (
-        "causal mode uses the streaming (mean) descriptor")
     causal_chunk = min(causal_chunk, n)
     n_chunks = -(-n // causal_chunk)
 

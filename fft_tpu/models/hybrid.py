@@ -51,6 +51,20 @@ class HybridConfig:
         return self.num_groups * (self.spectre_per_group + 1)
 
 
+def hybrid_tiny_config(vocab_size: int = 256, seq: int = 2048
+                       ) -> HybridConfig:
+    """Small hybrid for CLI smoke runs and tests: 2x (SPECTRE + SWA)."""
+    return HybridConfig(
+        vocab_size=vocab_size,
+        num_groups=2, spectre_per_group=1,
+        block=SpectreConfig(
+            embed_dim=256, num_heads=4, n_fft=seq, pooling_type="mean",
+            wavelet_on_rate=0.0, causal=True,
+            causal_chunk=max(128, seq // 8)),
+        attn_heads=4, attn_window=max(64, seq // 8), max_seq=seq,
+    )
+
+
 def hybrid_1b_config(vocab_size: int = 50432, seq: int = 32768
                      ) -> HybridConfig:
     """Config 5: ~1B params, d=2048, seq 32k, SWA window 1024."""

@@ -97,8 +97,21 @@ def lm_init(key, cfg: LMConfig, dtype=jnp.float32):
     return params
 
 
-def _run_blocks(params, cfg: LMConfig, h, rngs, deterministic):
-    """Scan the block stack: one compiled body for all layers."""
+def _run_blocks(params, cfg: LMConfig, h, rngs, deterministic,
+                sp_mesh=None, pp_mesh=None):
+    """Scan the block stack: one compiled body for all layers.
+
+    ``pp_mesh`` (a mesh with a 'stage' axis) runs the stack as a GPipe
+    pipeline instead (parallel/pipeline.py); dropout keys are not threaded
+    through the pipeline, so PP training runs the blocks deterministically
+    (the tiny/350m presets have dropout_p=0 anyway)."""
+    if pp_mesh is not None:
+        from fft_tpu.parallel.pipeline import pipeline_apply
+        return pipeline_apply(
+            params["blocks"],
+            lambda p, x: spectre_block_apply(p, cfg.block, x),
+            h, mesh=pp_mesh)
+
     if rngs is None:
         layer_rngs = jnp.zeros((cfg.num_layers, 2), jnp.uint32)
         use_rngs = False
@@ -112,7 +125,8 @@ def _run_blocks(params, cfg: LMConfig, h, rngs, deterministic):
         r = {"dropout": rng, "wavelet": jax.random.fold_in(rng, 1)} \
             if use_rngs else None
         h = spectre_block_apply(block_params, cfg.block, h, rngs=r,
-                                deterministic=deterministic)
+                                deterministic=deterministic,
+                                sp_mesh=sp_mesh)
         return h, None
 
     if cfg.remat:
@@ -121,13 +135,33 @@ def _run_blocks(params, cfg: LMConfig, h, rngs, deterministic):
     return h
 
 
+def _seq_shards(mesh) -> int:
+    return mesh.shape.get("seq", 1) if mesh is not None else 1
+
+
 def lm_hidden(params, cfg: LMConfig, tokens: jnp.ndarray, *,
-              rngs: Optional[dict] = None, deterministic: bool = True):
-    """tokens (B, N) -> final-LN hidden states (B, N, d)."""
+              rngs: Optional[dict] = None, deterministic: bool = True,
+              mesh=None, pp_mesh=None):
+    """tokens (B, N) -> final-LN hidden states (B, N, d).
+
+    With ``mesh`` carrying a 'seq' axis of size > 1, activations are
+    sequence-sharded (SP): the embedding output gets an explicit
+    ``with_sharding_constraint`` on P('data', 'seq', None) and GSPMD
+    propagates it through the stack — shard-local for the segmented causal
+    algorithm (layers/causal_seg.py), via the distributed four-step FFT for
+    the non-causal mix (sp_mesh threaded into the blocks)."""
     n = tokens.shape[-1]
     h = (params["tok_emb"][tokens] + params["pos_emb"][:n]).astype(
         cfg.block.compute_dtype)
-    h = _run_blocks(params, cfg, h, rngs, deterministic)
+    sp_mesh = None
+    if _seq_shards(mesh) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        h = jax.lax.with_sharding_constraint(
+            h, NamedSharding(mesh, P("data", "seq", None)))
+        if not cfg.block.causal:
+            sp_mesh = mesh    # four-step distributed FFT inside the mix
+    h = _run_blocks(params, cfg, h, rngs, deterministic,
+                    sp_mesh=sp_mesh, pp_mesh=pp_mesh)
     return layernorm_apply(params["ln_f"], h)
 
 
@@ -136,10 +170,11 @@ def lm_head_matrix(params, cfg: LMConfig):
 
 
 def lm_apply(params, cfg: LMConfig, tokens: jnp.ndarray, *,
-             rngs: Optional[dict] = None, deterministic: bool = True):
+             rngs: Optional[dict] = None, deterministic: bool = True,
+             mesh=None, pp_mesh=None):
     """tokens (B, N) int32 -> logits (B, N, vocab)."""
     h = lm_hidden(params, cfg, tokens, rngs=rngs,
-                  deterministic=deterministic)
+                  deterministic=deterministic, mesh=mesh, pp_mesh=pp_mesh)
     head = lm_head_matrix(params, cfg)
     # logits in fp32 for a stable softmax/loss regardless of compute dtype
     return (h @ head.astype(h.dtype)).astype(jnp.float32)

@@ -14,6 +14,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def dct_pool_weights(n: int, dct_components: int = 64) -> jnp.ndarray:
+    """Per-position row weights ``w`` such that
+    ``dct_pool(x) == sum_n x[..., n, :] * w[n]`` for length-n sequences:
+    the mean of the first K unnormalized DCT-II basis rows.  Lets causal
+    chunked gating compute running DCT descriptors as weighted prefix sums
+    (layers/spectre.py:causal_chunk_gates) — the streaming counterpart the
+    reference's DCT pooler lacks (spectre.py:136-156 has no decode path)."""
+    k = np.arange(min(dct_components, n))[:, None]
+    pos = np.arange(n)[None, :]
+    w = 2.0 * np.cos(np.pi * k * (2 * pos + 1) / (2.0 * n))
+    return jnp.asarray(w.mean(axis=0).astype(np.float32))
+
+
 def dct2(x: jnp.ndarray, norm: str | None = None) -> jnp.ndarray:
     """DCT-II of ``x`` along the last axis.
 

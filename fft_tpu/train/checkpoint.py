@@ -73,7 +73,11 @@ class AsyncCheckpointWriter:
             except BaseException as e:   # surfaced on the next wait/save
                 self._error = e
 
-        self._thread = threading.Thread(target=_write, daemon=True)
+        # non-daemon: an in-flight write completes (or fails loudly on the
+        # next wait) even if the caller exits without draining — a daemon
+        # thread would be killed at interpreter shutdown, silently losing
+        # the checkpoint
+        self._thread = threading.Thread(target=_write, daemon=False)
         self._thread.start()
 
     def wait(self) -> None:

@@ -27,6 +27,10 @@ class TrainConfig:
     total_steps: int = 10000
     grad_clip: float = 1.0
     min_lr_ratio: float = 0.1
+    # AdamW first-moment dtype ("bfloat16" halves it — the standard state
+    # compression for billion-param configs on one 16 GB chip; the second
+    # moment stays fp32 for range).  None = fp32.
+    mu_dtype: Optional[str] = None
 
 
 class TrainState(NamedTuple):
@@ -56,14 +60,15 @@ def make_optimizer(tcfg: TrainConfig, params) -> optax.GradientTransformation:
     opt = optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip),
         optax.adamw(schedule, b1=tcfg.beta1, b2=tcfg.beta2,
-                    weight_decay=tcfg.weight_decay),
+                    weight_decay=tcfg.weight_decay,
+                    mu_dtype=tcfg.mu_dtype),
     )
     return optax.masked(opt, _trainable_mask(params))
 
 
 def lm_loss(params, model_cfg, tokens: jnp.ndarray, *,
             rngs: Optional[dict] = None, deterministic: bool = False,
-            logits_chunk: int = 2048):
+            mesh=None, pp_mesh=None, logits_chunk: int = 2048):
     """Next-token cross entropy; tokens (B, N+1) -> scalar mean nats.
 
     The fp32 logits tensor (B, N, vocab) dominates memory at long context
@@ -72,7 +77,7 @@ def lm_loss(params, model_cfg, tokens: jnp.ndarray, *,
     from fft_tpu.models.lm import lm_head_matrix, lm_hidden
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
     h = lm_hidden(params, model_cfg, inputs, rngs=rngs,
-                  deterministic=deterministic)
+                  deterministic=deterministic, mesh=mesh, pp_mesh=pp_mesh)
     head = lm_head_matrix(params, model_cfg)
     return chunked_softmax_ce(h, head, targets, logits_chunk)
 
@@ -159,14 +164,22 @@ def train_init(key, params, tcfg: TrainConfig) -> tuple[TrainState, Any]:
 
 
 def train_step(state: TrainState, batch: jnp.ndarray, *, model_cfg,
-               optimizer) -> tuple[TrainState, dict]:
-    """One optimizer step on an LM batch (B, N+1).  Pure; jit/pjit it."""
+               optimizer, mesh=None, pp_mesh=None
+               ) -> tuple[TrainState, dict]:
+    """One optimizer step on an LM batch (B, N+1).  Pure; jit/pjit it.
+
+    ``mesh`` with a 'seq' axis > 1 sequence-shards the activations (SP);
+    ``pp_mesh`` (a 'stage' mesh) pipelines the block stack — PP runs the
+    blocks without dropout keys (see models/lm.py:_run_blocks)."""
     rng, step_rng = jax.random.split(jax.random.wrap_key_data(state.rng))
     rng = jax.random.key_data(rng)
 
     def loss_fn(p):
         return lm_loss(p, model_cfg, batch,
-                       rngs={"dropout": step_rng}, deterministic=False)
+                       rngs={"dropout": step_rng} if pp_mesh is None
+                       else None,
+                       deterministic=pp_mesh is not None,
+                       mesh=mesh, pp_mesh=pp_mesh)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     updates, opt_state = optimizer.update(grads, state.opt_state,

@@ -5,9 +5,10 @@ every k steps + restart-from-latest").
 ``supervise`` runs a ``train-lm``-style CLI invocation and, when it dies
 (crashed host, preempted worker, injected fault), relaunches it with
 ``--resume`` so it continues from the latest on-disk checkpoint (written by
-``AsyncCheckpointWriter``).  Restarts are rate-limited by ``max_restarts``;
-a run that fails immediately after resuming twice in a row is treated as
-deterministic (not transient) and re-raised rather than looped forever.
+``AsyncCheckpointWriter``).  Restarts are rate-limited by ``max_restarts``
+total failures; once exhausted a ``RuntimeError`` is raised (chained to the
+runner's exception when the last failure was a raise, so the real cause
+survives) rather than looping forever.
 
 Fault injection for tests/drills: set ``FFT_TPU_FAULT_STEP=<n>`` and the
 train loop raises at step n — only on a fresh (non-resumed) run, modeling
@@ -45,16 +46,18 @@ def supervise(argv: List[str], *, max_restarts: int = 3,
     restarts = 0
     attempt = list(argv)
     while True:
+        last_exc = None
         try:
             rc = run(attempt)
-        except Exception:
-            rc = -1
+        except Exception as e:         # a raising runner counts as rc=-1
+            print(f"supervised run raised: {e!r}", file=sys.stderr)
+            last_exc, rc = e, -1
         if rc == 0:
             return restarts
         if restarts >= max_restarts:
             raise RuntimeError(
                 f"training failed {restarts + 1} times (last rc={rc}); "
-                "giving up — latest checkpoint is preserved")
+                "giving up — latest checkpoint is preserved") from last_exc
         restarts += 1
         if backoff_s:
             time.sleep(backoff_s * restarts)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fft_tpu.config import SpectreConfig
 from fft_tpu.decode import (
@@ -22,11 +23,12 @@ def _cfg(**kw):
     return SpectreConfig(**base)
 
 
-def test_causal_no_future_leak():
+@pytest.mark.parametrize("pooling", ["mean", "dct", "attention"])
+def test_causal_no_future_leak(pooling):
     """Perturbing token p must not change outputs at positions < p — for any
-    chunking (the descriptor includes at most the current chunk's first
-    token; the conv kernel is strictly past-facing)."""
-    cfg = _cfg(causal_chunk=4)
+    chunking and any pooler (the cumulative descriptor includes at most the
+    current chunk's first token; the conv kernel is strictly past-facing)."""
+    cfg = _cfg(causal_chunk=4, pooling_type=pooling)
     params = spectre_block_init(jax.random.key(0), cfg)
     x = jax.random.normal(jax.random.key(1), (2, 16, 32))
     p = 9
@@ -39,10 +41,16 @@ def test_causal_no_future_leak():
     assert float(jnp.max(jnp.abs(out1[:, p] - out2[:, p]))) > 1e-3
 
 
-def test_causal_chunk1_equals_decode():
+@pytest.mark.parametrize("pooling", ["mean", "dct", "attention"])
+def test_causal_chunk1_equals_decode(pooling):
     """causal_chunk=1 training forward == token-by-token decode (the
-    train/decode consistency the reference lacks, SURVEY §3.6-C)."""
-    cfg = _cfg(causal_chunk=1)
+    train/decode consistency the reference lacks, SURVEY §3.6-C) — for all
+    three poolers.  mean matches the reference decode descriptor sum_q/N;
+    dct/attention match the framework's 'window' streaming descriptor (the
+    reference has no streaming counterpart for them at all)."""
+    descr = "reference" if pooling == "mean" else "window"
+    cfg = _cfg(causal_chunk=1, pooling_type=pooling,
+               decode_descriptor=descr)
     params = spectre_multihead_init(jax.random.key(2), cfg)
     x = jax.random.normal(jax.random.key(3), (2, 12, 32)) * 0.5
 
