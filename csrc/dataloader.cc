@@ -37,12 +37,13 @@ struct XorShift {
 
 struct Loader {
   const uint8_t* data = nullptr;
-  size_t size = 0;
+  size_t size = 0;  // bytes
   bool owns_mmap = false;
   std::vector<uint8_t> owned;  // for in-memory corpora
 
   int batch = 0;
   int seqlen = 0;  // rows are seqlen+1 (inputs+targets)
+  int elem = 1;    // bytes per token: 1 = raw bytes, 2 = uint16 LE (BPE)
   uint64_t seed = 0;
   uint64_t step = 0;
 
@@ -59,12 +60,24 @@ struct Loader {
     const int row = seqlen + 1;
     XorShift rng(seed * 0x2545F4914F6CDD1DULL + step_idx + 1);
     int32_t* out = buf[slot].data();
-    const size_t span = size - static_cast<size_t>(row);
+    const size_t n_tokens = size / static_cast<size_t>(elem);
+    const size_t span = n_tokens - static_cast<size_t>(row);
     for (int b = 0; b < batch; ++b) {
       size_t start = static_cast<size_t>(rng.next() % span);
-      const uint8_t* src = data + start;
       int32_t* dst = out + static_cast<size_t>(b) * row;
-      for (int i = 0; i < row; ++i) dst[i] = static_cast<int32_t>(src[i]);
+      if (elem == 2) {
+        // uint16 little-endian token stream (BPE corpora); memcpy per
+        // element keeps it alignment-safe on any mmap offset.
+        const uint8_t* src = data + start * 2;
+        for (int i = 0; i < row; ++i) {
+          uint16_t t;
+          std::memcpy(&t, src + 2 * i, 2);
+          dst[i] = static_cast<int32_t>(t);
+        }
+      } else {
+        const uint8_t* src = data + start;
+        for (int i = 0; i < row; ++i) dst[i] = static_cast<int32_t>(src[i]);
+      }
     }
   }
 
@@ -92,16 +105,19 @@ struct Loader {
 
 extern "C" {
 
-void* fft_loader_open(const char* path, int batch, int seqlen,
-                      uint64_t seed) {
+void* fft_loader_open2(const char* path, int batch, int seqlen,
+                       uint64_t seed, int elem) {
+  if (elem != 1 && elem != 2) return nullptr;
   auto* l = new Loader();
+  l->elem = elem;
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) {
     delete l;
     return nullptr;
   }
   struct stat st;
-  if (fstat(fd, &st) != 0 || st.st_size < seqlen + 2) {
+  if (fstat(fd, &st) != 0 ||
+      st.st_size / elem < seqlen + 2 || st.st_size % elem != 0) {
     ::close(fd);
     delete l;
     return nullptr;
@@ -123,6 +139,11 @@ void* fft_loader_open(const char* path, int batch, int seqlen,
   l->buf[1].resize(n);
   l->worker = std::thread([l] { l->loop(); });
   return l;
+}
+
+void* fft_loader_open(const char* path, int batch, int seqlen,
+                      uint64_t seed) {
+  return fft_loader_open2(path, batch, seqlen, seed, 1);
 }
 
 // Blocks until the prefetched batch for the next step is ready, copies it

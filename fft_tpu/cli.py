@@ -6,6 +6,7 @@ Usage:
                                      [--ckpt DIR] [--resume] [--bf16]
                                      [--dp N --sp N --tp N]
     python -m fft_tpu.cli train-vit  [--steps N] [--batch B]
+    python -m fft_tpu.cli tokenize   --out FILE [--data TEXT] [--vocab-size V]
     python -m fft_tpu.cli generate   [--ckpt DIR] [--prompt TEXT] [--steps N]
     python -m fft_tpu.cli bench-mix  [--seqs 1024,4096,...] [--batch B]
 
@@ -27,8 +28,10 @@ import numpy as np
 
 def _lm_config(args):
     from fft_tpu.models.lm import spectre_350m_config, tiny_lm_config
-    cfg = (spectre_350m_config(seq=args.seq) if args.preset == "350m"
-           else tiny_lm_config(seq=args.seq))
+    vk = ({"vocab_size": args.vocab_size}
+          if getattr(args, "vocab_size", None) else {})
+    cfg = (spectre_350m_config(seq=args.seq, **vk) if args.preset == "350m"
+           else tiny_lm_config(seq=args.seq, **vk))
     if args.bf16:
         cfg = dataclasses.replace(
             cfg, block=dataclasses.replace(cfg.block,
@@ -36,17 +39,44 @@ def _lm_config(args):
     return cfg
 
 
+def _default_bpe_corpus(vocab_size: int) -> str:
+    """Build (once, cached) a BPE-tokenized synthetic corpus so the
+    50k-vocab presets train on their declared vocab end-to-end even with
+    no dataset on disk (this sandbox has no network)."""
+    import pathlib
+    from fft_tpu.train.bpe import is_token_file, tokenize_file
+    from fft_tpu.train.data import synthetic_corpus
+
+    cache = pathlib.Path.home() / ".cache" / "fft_tpu"
+    cache.mkdir(parents=True, exist_ok=True)
+    out = cache / f"synth_v{vocab_size}.tokens"
+    if not is_token_file(str(out)):
+        print(f"building BPE corpus at {out} ...")
+        tokenize_file(synthetic_corpus(2_000_000), str(out),
+                      vocab_size=vocab_size)
+    return str(out)
+
+
 def cmd_train_lm(args):
     from fft_tpu.models.lm import lm_init
     from fft_tpu.parallel import (lm_batch_sharding, lm_state_shardings,
                                   make_mesh)
     from fft_tpu.train import TrainConfig, train_init, train_step
+    from fft_tpu.train.bpe import Tokenizer, is_token_file, vocab_sidecar
     from fft_tpu.train.checkpoint import (AsyncCheckpointWriter, latest_step,
                                           restore_checkpoint)
-    from fft_tpu.train.data import CharDataset
+    from fft_tpu.train.data import CharDataset, TokenDataset
     from fft_tpu.utils import MetricsLogger
 
     cfg = _lm_config(args)
+    data_path = args.data
+    if data_path is None and args.preset == "350m":
+        data_path = _default_bpe_corpus(cfg.vocab_size)
+    token_mode = is_token_file(data_path)
+    if token_mode:
+        tok_vocab = Tokenizer.load(vocab_sidecar(data_path)).vocab_size
+        assert tok_vocab <= cfg.vocab_size, (
+            f"corpus vocab {tok_vocab} exceeds model vocab {cfg.vocab_size}")
     if args.sp > 1 and cfg.block.causal:
         # SP needs the shard-local segmented causal algorithm
         # (layers/causal_seg.py); the 2N-FFT chunked path is global.
@@ -93,17 +123,22 @@ def cmd_train_lm(args):
                       donate_argnums=(0,))
 
     def make_batches(seed):
-        if args.data is not None:
+        if data_path is not None:
             try:
                 from fft_tpu.train.native_loader import NativeCharLoader
-                it = iter(NativeCharLoader(args.data, args.batch, args.seq,
-                                           seed=seed))
-                print("using native C++ data loader")
+                it = iter(NativeCharLoader(
+                    data_path, args.batch, args.seq, seed=seed,
+                    elem_size=2 if token_mode else 1))
+                print("using native C++ data loader"
+                      + (" (uint16 BPE tokens)" if token_mode else ""))
                 return it
             except Exception as e:      # fall back to the Python pipeline
                 print(f"native loader unavailable ({e}); "
                       "using Python loader")
-        data = CharDataset(path=args.data)
+            if token_mode:
+                return TokenDataset(data_path).batches(
+                    args.batch, args.seq, seed=seed)
+        data = CharDataset(path=data_path)
         return data.batches(args.batch, args.seq, seed=seed)
 
     # Resumed runs re-seed by the resumed step so the stream continues with
@@ -329,6 +364,26 @@ def cmd_train_vit(args):
     logger.close()
 
 
+def cmd_tokenize(args):
+    """Train a byte-level BPE tokenizer on a text corpus and write the
+    uint16 token stream + vocab sidecar (train/bpe.py)."""
+    import pathlib
+    from fft_tpu.train.bpe import tokenize_file
+    from fft_tpu.train.data import synthetic_corpus
+
+    text = (pathlib.Path(args.data).read_text(encoding="utf-8")
+            if args.data else synthetic_corpus(args.chars))
+    tok = tokenize_file(text, args.out, vocab_size=args.vocab_size,
+                        max_merges=args.max_merges)
+    n_tok = pathlib.Path(args.out).stat().st_size // 2
+    print(json.dumps({
+        "out": args.out, "vocab_size": tok.vocab_size,
+        "merges_learned": len(tok.merges), "chars": len(text),
+        "tokens": n_tok,
+        "compression": round(len(text) / max(n_tok, 1), 3),
+    }))
+
+
 def cmd_generate(args):
     from fft_tpu.models.lm import lm_generate, lm_init
     from fft_tpu.train.checkpoint import restore_checkpoint
@@ -340,14 +395,23 @@ def cmd_generate(args):
         state, _ = train_init(jax.random.key(0), params, TrainConfig())
         state = restore_checkpoint(args.ckpt, state)
         params = state.params
-    prompt = jnp.asarray(
-        np.frombuffer(args.prompt.encode("utf-8"), np.uint8)[None].astype(
-            np.int32))
-    toks = lm_generate(params, cfg, prompt, steps=args.steps,
-                       rng=jax.random.key(args.seed),
+    tok = None
+    if args.vocab:
+        from fft_tpu.train.bpe import Tokenizer, is_token_file, vocab_sidecar
+        path = (vocab_sidecar(args.vocab) if is_token_file(args.vocab)
+                else args.vocab)
+        tok = Tokenizer.load(path)
+        prompt_ids = tok.encode(args.prompt)[None]
+    else:
+        prompt_ids = np.frombuffer(args.prompt.encode("utf-8"),
+                                   np.uint8)[None].astype(np.int32)
+    toks = lm_generate(params, cfg, jnp.asarray(prompt_ids),
+                       steps=args.steps, rng=jax.random.key(args.seed),
                        temperature=args.temperature)
-    text = bytes(int(t) % 256 for t in np.asarray(toks[0])).decode(
-        "utf-8", errors="replace")
+    ids = np.asarray(toks[0])
+    text = (tok.decode(ids) if tok is not None
+            else bytes(int(t) % 256 for t in ids).decode(
+                "utf-8", errors="replace"))
     print(args.prompt + text)
 
 
@@ -407,7 +471,11 @@ def main(argv=None):
     lm.add_argument("--batch", type=int, default=8)
     lm.add_argument("--seq", type=int, default=2048)
     lm.add_argument("--lr", type=float, default=3e-4)
-    lm.add_argument("--data", default=None)
+    lm.add_argument("--data", default=None,
+                    help="text corpus, or a .tokens BPE stream (with its "
+                         ".vocab.json sidecar) from the tokenize command")
+    lm.add_argument("--vocab-size", type=int, default=None,
+                    help="override the preset's vocab size")
     lm.add_argument("--ckpt", default=None)
     lm.add_argument("--ckpt-every", type=int, default=500)
     lm.add_argument("--resume", action="store_true")
@@ -462,6 +530,17 @@ def main(argv=None):
     vit.add_argument("--seed", type=int, default=0)
     vit.set_defaults(fn=cmd_train_vit)
 
+    tz = sub.add_parser("tokenize")
+    tz.add_argument("--data", default=None,
+                    help="UTF-8 text corpus (default: synthetic)")
+    tz.add_argument("--out", required=True,
+                    help="output token stream (.tokens)")
+    tz.add_argument("--vocab-size", type=int, default=50432)
+    tz.add_argument("--max-merges", type=int, default=None)
+    tz.add_argument("--chars", type=int, default=2_000_000,
+                    help="synthetic corpus size when no --data")
+    tz.set_defaults(fn=cmd_tokenize)
+
     gen = sub.add_parser("generate")
     gen.add_argument("--preset", default="tiny", choices=["tiny", "350m"])
     gen.add_argument("--seq", type=int, default=2048)
@@ -470,6 +549,9 @@ def main(argv=None):
     gen.add_argument("--prompt", default="the ")
     gen.add_argument("--steps", type=int, default=64)
     gen.add_argument("--temperature", type=float, default=0.0)
+    gen.add_argument("--vocab", default=None,
+                    help="BPE vocab json (or .tokens file) for encode/decode")
+    gen.add_argument("--vocab-size", type=int, default=None)
     gen.add_argument("--seed", type=int, default=0)
     gen.set_defaults(fn=cmd_generate)
 

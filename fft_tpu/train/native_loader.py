@@ -38,9 +38,13 @@ def _load_lib():
     if not _LIB.exists():
         build()
     lib = ctypes.CDLL(str(_LIB))
-    lib.fft_loader_open.restype = ctypes.c_void_p
-    lib.fft_loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                    ctypes.c_int, ctypes.c_uint64]
+    if not hasattr(lib, "fft_loader_open2"):   # stale pre-BPE binary
+        build(force=True)
+        lib = ctypes.CDLL(str(_LIB))
+    lib.fft_loader_open2.restype = ctypes.c_void_p
+    lib.fft_loader_open2.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_uint64,
+                                     ctypes.c_int]
     lib.fft_loader_next.restype = ctypes.c_int
     lib.fft_loader_next.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_int32)]
@@ -49,13 +53,16 @@ def _load_lib():
 
 
 class NativeCharLoader:
-    """Threaded, double-buffered byte-level batch sampler over an mmap'd
-    corpus file.  Yields (B, seq_len+1) int32 like CharDataset.batches."""
+    """Threaded, double-buffered batch sampler over an mmap'd corpus file.
+    ``elem_size=1`` samples raw bytes (char LM), ``elem_size=2`` samples a
+    little-endian uint16 token stream (BPE corpora, train/bpe.py).
+    Yields (B, seq_len+1) int32 like CharDataset.batches."""
 
-    def __init__(self, path: str, batch: int, seq_len: int, seed: int = 0):
+    def __init__(self, path: str, batch: int, seq_len: int, seed: int = 0,
+                 elem_size: int = 1):
         self._lib = _load_lib()
-        self._handle = self._lib.fft_loader_open(
-            str(path).encode(), batch, seq_len, seed)
+        self._handle = self._lib.fft_loader_open2(
+            str(path).encode(), batch, seq_len, seed, elem_size)
         if not self._handle:
             raise NativeLoaderUnavailable(f"could not open corpus {path}")
         self.batch = batch
