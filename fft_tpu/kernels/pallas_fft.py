@@ -72,10 +72,15 @@ def _mix_factors(n_fft: int):
 
 
 def pallas_mix_supported(n_fft: int) -> bool:
-    """n_fft <= 8192 fits the 128 MB VMEM with the raised scoped limit
-    (the round-1 2048 bound was an artifact of XLA's default 16 MB limit);
-    16k+ would need a streamed two-pass design — falls back to matmul."""
-    return _mix_factors(n_fft) is not None and n_fft <= 8192
+    """<= 8192: whole-slab kernels (direct/staged).  16384-65536: the
+    two-pass streamed kernel (`_twopass_mix_call`) — phase 1 accumulates
+    the four-step block-DFT into a VMEM-resident spectrum scratch, phase 2
+    streams kappa-chunks through twiddle -> stage-2 DFT -> untangle ->
+    gate -> inverse, so VMEM never holds stage temporaries at full-slab
+    size.  At 65536 the spectrum itself exceeds VMEM and phase 1 runs as
+    one XLA matmul with the spectrum in HBM."""
+    return (_mix_factors(n_fft) is not None and n_fft <= 8192) or (
+        _twopass_plan(n_fft) is not None)
 
 
 @functools.lru_cache(maxsize=None)
@@ -715,6 +720,27 @@ def fused_spectral_mix(
         return _direct_mix_call(v, jnp.real(g), jnp.imag(g), mem_t,
                                 n_fft=n_fft, interpret=interpret, fast=fast)
 
+    if n_fft > 8192:
+        tp = _twopass_consts(n_fft)
+        perm = jnp.asarray(tp["perm"])
+        g = gate_bc.astype(jnp.complex64)
+        g_main = jnp.take(g, perm, axis=-2)
+        y = _twopass_mix_call(
+            v, jnp.real(g_main), jnp.imag(g_main),
+            jnp.real(g[..., -1:, :]),
+            n_fft=n_fft, interpret=interpret, fast=fast)
+        if memory_fft is not None:
+            # additive frozen memory: its irFFT is a per-layer constant —
+            # computed once via the matmul FFT and broadcast-added (no
+            # 16k+ preset uses memory; the extra pass only costs when on)
+            from fft_tpu.kernels.matfft import irfft_matmul
+            prec = (jax.lax.Precision.DEFAULT if fast
+                    else jax.lax.Precision.HIGHEST)
+            mem_t = irfft_matmul(memory_fft.astype(jnp.complex64)[None],
+                                 n_fft, axis=-2, precision=prec)[0]
+            y = (y.astype(jnp.float32) + mem_t).astype(v.dtype)
+        return y
+
     cst = _consts(n_fft)
     perm = jnp.asarray(cst["perm"])
 
@@ -804,3 +830,433 @@ def _mix_bwd(n_fft, fast, res, ybar):
 
 
 spectral_mix.defvjp(_mix_fwd, _mix_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass streamed kernel (n_fft 16384-65536).  The whole-slab staged
+# kernel dies past 8192 because its ~10 live (n2, 2*dblk) f32 stage buffers
+# outgrow VMEM.  Here the packed-real DFT of length n2 = f1*f2 is run as
+# the four-step algorithm with the factor split across a SEQUENTIAL grid
+# axis:
+#
+#   z[m], m = q*f1 + c                 (contiguous f1-row blocks, q in f2)
+#   S[kappa, c]   = sum_q z[q f1 + c] e^{-2pi i q kappa / f2}     (phase 1)
+#   X[kappa+f2 k1] = sum_c e^{-2pi i c k1/f1} (e^{-2pi i c kappa/n2} S)
+#                                                                 (phase 2)
+#
+# Phase 1 accumulates S into a VMEM scratch over q-block grid steps (one
+# (f2, qc) @ (qc, f1*2dblk) matmul per step).  Phase 2 walks kappa-chunks:
+# each chunk's spectrum rows live ONLY inside that step — twiddle, stage-2
+# DFT, real-FFT untangle, gate multiply, inverse untangle, inverse stage —
+# and its contribution to every output position is accumulated into a
+# second (n2, 2dblk) scratch via the inverse q-contraction
+# z'[q f1 + c] += sum_kappa e^{+2pi i q kappa/f2} (...).  VMEM peak is
+# 24 * n2 * dblk bytes (spectrum scratch 16, output accumulator 8) — 25/50
+# MB at 16k/32k — instead of the staged kernel's ~40 * n2 * dblk of
+# simultaneous stage temporaries.  At 65536 the spectrum scratch alone
+# would be 64 MB + 32 acc, so phase 1 runs as one XLA einsum with S in HBM
+# and the kernel streams it per chunk (one extra S round-trip, amortized at
+# that size).
+#
+# The T- branch of the inverse untangle rides the same transforms via the
+# conj identity (T-(x) = conj(T+(conj x))): the am/cm planes are
+# lane-stacked through the per-chunk inverse stage, and the final
+# q-contraction merges them with W+ only:
+#   Re z' = W+r @ (v+r + v-r) + W+i @ (v-i - v+i)
+#   Im z' = W+r @ (v+i + v-i) + W+i @ (v+r - v-r)
+# so ONE complex accumulator (re|im lane-stacked) suffices.
+#
+# Reference semantics identical to the other kernels (spectre.py:506,551
+# call sites; DC/Nyquist imaginary drop per torch.fft.irfft).
+# ---------------------------------------------------------------------------
+
+_TP_QC = 16           # q-blocks folded into one phase-1 grid step
+_TP_KC = 8            # kappa rows per phase-2 chunk
+
+
+def _twopass_plan(n_fft: int):
+    """(f1, f2, qc, kc, s_in_hbm) or None."""
+    if n_fft < 16384 or n_fft > 65536 or n_fft % 2:
+        return None
+    n2 = n_fft // 2
+    f1 = 128
+    if n2 % f1:
+        return None
+    f2 = n2 // f1
+    qc, kc = _TP_QC, _TP_KC
+    if f2 % qc or f2 % kc:
+        return None
+    return f1, f2, qc, kc, n_fft >= 65536
+
+
+@functools.lru_cache(maxsize=None)
+def _twopass_consts(n_fft: int):
+    """Host-side constant pack; all rows permuted into the kernel's
+    chunk-major (chunk, k1, kappa_in_chunk) row order."""
+    plan = _twopass_plan(n_fft)
+    assert plan is not None, n_fft
+    f1, f2, qc, kc, _ = plan
+    n2 = n_fft // 2
+    nq, nk = f2 // qc, f2 // kc
+
+    # kernel row r = ci*(f1*kc) + k1*kc + ki  ->  natural k
+    ci, k1, ki = np.meshgrid(np.arange(nk), np.arange(f1), np.arange(kc),
+                             indexing="ij")
+    perm = ((ci * kc + ki) + f2 * k1).reshape(-1)
+
+    k = np.arange(n2)
+    w = np.exp(-2j * np.pi * k / n_fft)
+    u = np.exp(+2j * np.pi * k / n_fft)
+    a_fwd = (1.0 - 1j * w) / 2.0
+    b_fwd = (1.0 + 1j * w) / 2.0
+    a_inv = (1.0 + 1j * u) / 2.0 / n2
+    b_inv = (1.0 - 1j * u) / 2.0 / n2
+    c_inv = np.zeros(n2, np.complex64)
+    c_inv[1:] = b_inv[n2 - np.arange(1, n2)]
+
+    def rows(z):
+        zp = z[perm]
+        return (np.ascontiguousarray(zp.real[:, None]).astype(np.float32),
+                np.ascontiguousarray(zp.imag[:, None]).astype(np.float32))
+
+    dc = np.zeros((n2, 1), np.float32)
+    dc[int(np.nonzero(perm == 0)[0][0])] = 1.0
+
+    q = np.arange(f2)
+    kap = np.arange(f2)
+    # phase-1 block-DFT columns, one (f2, qc) block per grid step
+    w2 = np.exp(-2j * np.pi * np.outer(kap, q) / f2)
+    w2b = w2.reshape(f2, nq, qc).transpose(1, 0, 2)          # (nq, f2, qc)
+    # inverse q-contraction columns, one (f2, kc) block per chunk
+    wi = np.exp(+2j * np.pi * np.outer(q, kap) / f2)
+    wib = wi.reshape(f2, nk, kc).transpose(1, 0, 2)          # (nk, f2, kc)
+    # per-chunk twiddles
+    c_ = np.arange(f1)
+    twf = np.exp(-2j * np.pi * np.outer(kap, c_) / n2)       # (f2, f1)
+    twfb = twf.reshape(nk, kc, f1)
+    twi_ = np.exp(+2j * np.pi * np.outer(c_, kap) / n2)      # (f1, f2)
+    twib = twi_.reshape(f1, nk, kc).transpose(1, 0, 2)       # (nk, f1, kc)
+    # stage DFT matrices over the f1 factor
+    s1 = np.exp(-2j * np.pi * np.outer(c_, c_) / f1)         # [k1, c]
+    is1 = np.exp(+2j * np.pi * np.outer(c_, c_) / f1)        # [c, k1]
+
+    def f32(a):
+        return np.ascontiguousarray(a).astype(np.float32)
+
+    afr, afi = rows(a_fwd)
+    air, aii = rows(a_inv)
+    cir, cii = rows(c_inv)
+    return dict(
+        f1=f1, f2=f2, qc=qc, kc=kc, nq=nq, nk=nk, perm=perm,
+        b0=complex(b_inv[0]),
+        w2br=f32(w2b.real), w2bi=f32(w2b.imag),
+        wibr=f32(wib.real), wibi=f32(wib.imag),
+        twfr=f32(twfb.real), twfi=f32(twfb.imag),
+        twir=f32(twib.real), twii=f32(twib.imag),
+        s1r=f32(s1.real), s1i=f32(s1.imag),
+        is1r=f32(is1.real), is1i=f32(is1.imag),
+        afr=afr, afi=afi, bfr=rows(b_fwd)[0], bfi=rows(b_fwd)[1],
+        air=air, aii=aii, cir=cir, cii=cii, dc=dc,
+    )
+
+
+def _tp_phase2_body(sr, si, twfr, twfi, s1r, s1i, is1r, is1i,
+                    afr, afi, bfr, bfi, air, aii, cir, cii, dc,
+                    g_r, g_i, f1, kc, dblk, precision):
+    """One kappa-chunk: twiddle -> stage-2 DFT -> untangle -> gate ->
+    inverse untangle -> inverse stage -> inverse twiddle.  sr/si are the
+    chunk's (kc, f1, 2*dblk) spectrum planes ([zr | zi] lane-stacked);
+    returns the two (f1, kc, 2*dblk) operands of the q-contraction."""
+    def mm3(a, b, dims):
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+
+    tr_ = twfr[:, :, None]
+    ti_ = twfi[:, :, None]
+    ur = sr * tr_ - si * ti_
+    ui = sr * ti_ + si * tr_
+    # stage-2 DFT over c: (f1,f1)[k1,c] x (kc,f1,2dblk) -> (f1,kc,2dblk)
+    xr = mm3(s1r, ur, (((1,), (1,)))) - mm3(s1i, ui, (((1,), (1,))))
+    xi = mm3(s1r, ui, (((1,), (1,)))) + mm3(s1i, ur, (((1,), (1,))))
+    xr = xr.reshape(f1 * kc, 2 * dblk)
+    xi = xi.reshape(f1 * kc, 2 * dblk)
+    frr, fir = xr[:, :dblk], xr[:, dblk:]
+    fri, fii = xi[:, :dblk], xi[:, dblk:]
+    pr = frr - fii
+    pi = fri + fir
+    zcr = frr + fii
+    zci = fri - fir
+    # forward untangle (rows pre-permuted to this chunk's order)
+    xsr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+    xsi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+    # gate multiply; drop Im at DC (torch irfft convention)
+    mr = g_r * xsr - g_i * xsi
+    mi = (g_r * xsi + g_i * xsr) * (1.0 - dc)
+    # inverse untangle; the C (.) conj(M) branch lane-stacks with A (.) M
+    # and rides the same inverse stage/twiddle via the conj identity
+    # T-(x) = conj(T+(conj x)) — conj folded at the q-contraction below.
+    amr = air * mr - aii * mi
+    ami = air * mi + aii * mr
+    cmr = cir * mr + cii * mi
+    cmi = cii * mr - cir * mi
+    s2r = jnp.concatenate([amr, cmr], axis=-1).reshape(f1, kc, 2 * dblk)
+    s2i = jnp.concatenate([ami, -cmi], axis=-1).reshape(f1, kc, 2 * dblk)
+    # inverse stage over k1: (f1,f1)[c,k1] x (f1,kc,2dblk) -> (f1,kc,2dblk)
+    rr = mm3(is1r, s2r, (((1,), (0,)))) - mm3(is1i, s2i, (((1,), (0,))))
+    ri = mm3(is1r, s2i, (((1,), (0,)))) + mm3(is1i, s2r, (((1,), (0,))))
+    return rr, ri
+
+
+def _make_twopass_kernel(n_fft: int, precision, dblk: int, s_in_hbm: bool):
+    cst = _twopass_consts(n_fft)
+    f1, f2, qc, kc = cst["f1"], cst["f2"], cst["qc"], cst["kc"]
+    nq = 0 if s_in_hbm else cst["nq"]
+    nk = cst["nk"]
+    nsteps = nq + nk
+    n2 = n_fft // 2
+    b0r, b0i = cst["b0"].real, cst["b0"].imag
+
+    def kernel(*refs):
+        if s_in_hbm:
+            (sr_ref, si_ref, nyq_ref, gr_ref, gi_ref, gn_ref, e_ref,
+             wib_r, wib_i, twf_r, twf_i, twi_r, twi_i,
+             s1r_ref, s1i_ref, is1r_ref, is1i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref,
+             air_ref, aii_ref, cir_ref, cii_ref, dc_ref,
+             o_ref, acc_scr) = refs
+        else:
+            (v_ref, gr_ref, gi_ref, gn_ref, e_ref,
+             w2b_r, w2b_i, wib_r, wib_i, twf_r, twf_i, twi_r, twi_i,
+             s1r_ref, s1i_ref, is1r_ref, is1i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref,
+             air_ref, aii_ref, cir_ref, cii_ref, dc_ref,
+             o_ref, sr_scr, si_scr, acc_scr, nyq_scr) = refs
+        step = pl.program_id(2)
+
+        def mm(a, b):
+            return jax.lax.dot_general(a, b, ((((1,), (0,))), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                                       precision=precision)
+
+        @pl.when(step == 0)
+        def _zero():
+            acc_scr[:] = jnp.zeros((n2, 2 * dblk), jnp.float32)
+            if not s_in_hbm:
+                sr_scr[:] = jnp.zeros((f2, f1 * 2 * dblk), jnp.float32)
+                si_scr[:] = jnp.zeros((f2, f1 * 2 * dblk), jnp.float32)
+                nyq_scr[:] = jnp.zeros((8, dblk), jnp.float32)
+
+        if not s_in_hbm:
+            @pl.when(step < nq)
+            def _phase1():
+                blk = v_ref[0].astype(jnp.float32)     # (2*qc*f1, dblk)
+                zs = blk.reshape(qc * f1, 2 * dblk)    # [z_re | z_im] lanes
+                zq = zs.reshape(qc, f1 * 2 * dblk)
+                sr_scr[:] = sr_scr[:] + mm(w2b_r[0], zq)
+                si_scr[:] = si_scr[:] + mm(w2b_i[0], zq)
+                nyq_scr[0:1] = nyq_scr[0:1] + jnp.sum(
+                    zs[:, :dblk] - zs[:, dblk:], axis=0, keepdims=True)
+
+        @pl.when(step >= nq)
+        def _phase2():
+            if s_in_hbm:
+                sr = sr_ref[0].astype(jnp.float32).reshape(kc, f1, 2 * dblk)
+                si = si_ref[0].astype(jnp.float32).reshape(kc, f1, 2 * dblk)
+            else:
+                k0 = (step - nq) * kc
+                sr = sr_scr[pl.ds(k0, kc)].reshape(kc, f1, 2 * dblk)
+                si = si_scr[pl.ds(k0, kc)].reshape(kc, f1, 2 * dblk)
+            e_mat = e_ref[0]
+
+            def expand(g):
+                return jax.lax.dot_general(
+                    g, e_mat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+
+            g_r = expand(gr_ref[0])
+            g_i = expand(gi_ref[0])
+            rr, ri = _tp_phase2_body(
+                sr, si, twf_r[0], twf_i[0],
+                s1r_ref[:], s1i_ref[:], is1r_ref[:], is1i_ref[:],
+                afr_ref[:], afi_ref[:], bfr_ref[:], bfi_ref[:],
+                air_ref[:], aii_ref[:], cir_ref[:], cii_ref[:], dc_ref[:],
+                g_r, g_i, f1, kc, dblk, precision)
+            # inverse twiddle e^{+2pi i c kappa/n2}: constants (f1, kc)
+            itr = twi_r[0][:, :, None]
+            iti = twi_i[0][:, :, None]
+            vr = rr * itr - ri * iti                  # (f1, kc, 2*dblk)
+            vi = rr * iti + ri * itr
+            # merge the two untangle branches into ONE complex accumulate:
+            # lanes [0:dblk] = v+ (A-branch), [dblk:] = v~ with the actual
+            # minus-branch value v- = conj(v~).  Then
+            #   Re z' = W+r @ (v+r + v-r) + W+i @ (v-i - v+i)
+            #   Im z' = W+r @ (v+i + v-i) + W+i @ (v+r - v-r)
+            vpr, vtr = vr[..., :dblk], vr[..., dblk:]
+            vpi, vti = vi[..., :dblk], vi[..., dblk:]
+            p_ = jnp.concatenate(                     # [Re-part | Im-part]
+                [vpr + vtr, vpi - vti], axis=-1)
+            m_ = jnp.concatenate(
+                [-vti - vpi, vpr - vtr], axis=-1)
+            # q-contraction: (f2, kc) x_k (f1, kc, 2dblk) -> (f2, f1, 2dblk)
+            def mmq(wblk, x):
+                return jax.lax.dot_general(
+                    wblk, x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+
+            contrib = mmq(wib_r[0], p_) + mmq(wib_i[0], m_)
+            acc_scr[:] = acc_scr[:] + contrib.reshape(n2, 2 * dblk)
+
+        @pl.when(step == nsteps - 1)
+        def _finalize():
+            if s_in_hbm:
+                x_nyq = nyq_ref[0]                    # (1, dblk)
+            else:
+                x_nyq = nyq_scr[0:1]
+            e_mat = e_ref[0]
+            gn = jax.lax.dot_general(
+                gn_ref[0], e_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            m_nyq = gn * x_nyq
+            acc = acc_scr[:]
+            z_r = acc[:, :dblk] + b0r * m_nyq
+            z_i = acc[:, dblk:] + b0i * m_nyq
+            y = jnp.stack([z_r, z_i], axis=1).reshape(n_fft, dblk)
+            o_ref[0] = y.astype(o_ref.dtype)
+
+    return kernel, cst
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "interpret", "fast"))
+def _twopass_mix_call(v, g_r, g_i, g_nyq, *, n_fft, interpret=False,
+                      fast=False):
+    """g_r/g_i arrive PRE-PERMUTED into the kernel's chunk-major row order
+    (host-side gather in `fused_spectral_mix`); g_nyq is (B, 1, hg)."""
+    b, n, d = v.shape
+    assert n == n_fft
+    plan = _twopass_plan(n_fft)
+    f1, f2, qc, kc, s_in_hbm = plan
+    n2 = n_fft // 2
+    dblk = _DBLK
+    assert d % dblk == 0, (d, dblk)
+    precision = jax.lax.Precision.DEFAULT if fast else _PREC
+    kernel, cst = _make_twopass_kernel(n_fft, precision, dblk, s_in_hbm)
+    nq = 0 if s_in_hbm else cst["nq"]
+    nk = cst["nk"]
+    nsteps = nq + nk
+    hg = g_r.shape[-1]
+
+    # one-hot group->channel expansion per d-block (Mosaic has no lane
+    # repeat; the MXU does the broadcast)
+    d_per_col = d // hg
+    blk = np.zeros((d // dblk, hg, dblk), np.float32)
+    for j in range(d // dblk):
+        for l in range(dblk):
+            blk[j, (j * dblk + l) // d_per_col, l] = 1.0
+
+    def chunk_idx(s):
+        return jnp.maximum(s - nq, 0)
+
+    data_specs = []
+    args = []
+
+    if s_in_hbm:
+        # phase 1 as one XLA matmul pair, spectrum in HBM (the (f2,
+        # f1*2*dblk) scratch alone would be 64 MB at 65536)
+        zs = v.reshape(b, n2, 2, d).astype(jnp.float32)
+        zq = zs.reshape(b, f2, f1 * 2 * d)
+        w2 = np.exp(-2j * np.pi * np.outer(np.arange(f2), np.arange(f2))
+                    / f2)
+        sr = jnp.einsum("kq,bqx->bkx", jnp.asarray(w2.real, jnp.float32),
+                        zq, precision=precision,
+                        preferred_element_type=jnp.float32)
+        si = jnp.einsum("kq,bqx->bkx", jnp.asarray(w2.imag, jnp.float32),
+                        zq, precision=precision,
+                        preferred_element_type=jnp.float32)
+        sr = sr.reshape(b, f2, f1, 2, d)
+        si = si.reshape(b, f2, f1, 2, d)
+        nyq = (zs[:, :, 0, :] - zs[:, :, 1, :]).sum(axis=1)[:, None, :]
+        for arr in (sr, si):
+            data_specs.append(pl.BlockSpec(
+                (1, kc, f1, 2, dblk),
+                lambda i, j, s: (i, chunk_idx(s), 0, 0, j),
+                memory_space=pltpu.VMEM))
+            args.append(arr)
+        data_specs.append(pl.BlockSpec(
+            (1, 1, dblk), lambda i, j, s: (i, 0, j),
+            memory_space=pltpu.VMEM))
+        args.append(nyq)
+    else:
+        data_specs.append(pl.BlockSpec(
+            (1, 2 * qc * f1, dblk),
+            lambda i, j, s: (i, jnp.minimum(s, nq - 1), j),
+            memory_space=pltpu.VMEM))
+        args.append(v)
+
+    # gate (pre-permuted, chunk-major) + nyquist gate + one-hot expander
+    data_specs += [
+        pl.BlockSpec((1, f1 * kc, hg), lambda i, j, s: (i, chunk_idx(s), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f1 * kc, hg), lambda i, j, s: (i, chunk_idx(s), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hg), lambda i, j, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hg, dblk), lambda i, j, s: (j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [g_r, g_i, g_nyq, jnp.asarray(blk)]
+
+    if not s_in_hbm:
+        for name in ("w2br", "w2bi"):
+            arr = cst[name]                           # (nq, f2, qc)
+            data_specs.append(pl.BlockSpec(
+                (1,) + arr.shape[1:],
+                lambda i, j, s: (jnp.minimum(s, nq - 1), 0, 0),
+                memory_space=pltpu.VMEM))
+            args.append(jnp.asarray(arr))
+    for name in ("wibr", "wibi", "twfr", "twfi", "twir", "twii"):
+        arr = cst[name]                               # (nk, ., .)
+        data_specs.append(pl.BlockSpec(
+            (1,) + arr.shape[1:],
+            lambda i, j, s: (chunk_idx(s), 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(arr))
+    for name in ("s1r", "s1i", "is1r", "is1i"):
+        arr = cst[name]                               # (f1, f1) resident
+        data_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, s: (0, 0), memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(arr))
+    for name in ("afr", "afi", "bfr", "bfi", "air", "aii", "cir", "cii",
+                 "dc"):
+        arr = cst[name]                               # (n2, 1) permuted
+        data_specs.append(pl.BlockSpec(
+            (f1 * kc, 1), lambda i, j, s: (chunk_idx(s), 0),
+            memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(arr))
+
+    scratch = [pltpu.VMEM((n2, 2 * dblk), jnp.float32)]
+    if not s_in_hbm:
+        scratch = [
+            pltpu.VMEM((f2, f1 * 2 * dblk), jnp.float32),
+            pltpu.VMEM((f2, f1 * 2 * dblk), jnp.float32),
+            pltpu.VMEM((n2, 2 * dblk), jnp.float32),
+            pltpu.VMEM((8, dblk), jnp.float32),
+        ]
+
+    kwargs = {"scratch_shapes": scratch}
+    if not interpret:
+        from fft_tpu.kernels.pallas_causal import _VMEM_LIMIT
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, d // dblk, nsteps),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), v.dtype),
+        in_specs=data_specs,
+        out_specs=pl.BlockSpec((1, n, dblk), lambda i, j, s: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(*args)
+

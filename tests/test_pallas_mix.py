@@ -43,6 +43,34 @@ def test_fused_mix_matches_jnp(n, with_mem):
     assert rel_err(got, ref) < 2e-6
 
 
+@pytest.mark.parametrize("n,with_mem", [(16384, False), (16384, True),
+                                        (32768, False), (65536, False)])
+def test_twopass_mix_matches_jnp(n, with_mem):
+    """The two-pass streamed kernel (16k: spectrum in VMEM scratch;
+    64k: phase-1 via XLA with the spectrum in HBM) vs the composition;
+    compact (H*G)-column gate like the production layer path."""
+    rng = np.random.default_rng(1)
+    b, d, hg = 1, 128, 32
+    f = n // 2 + 1
+    v = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+    gate = jnp.asarray(
+        (rng.standard_normal((b, f, hg))
+         + 1j * rng.standard_normal((b, f, hg))).astype(np.complex64))
+    mem = None
+    if with_mem:
+        mem = jnp.asarray(
+            (rng.standard_normal((f, d))
+             + 1j * rng.standard_normal((f, d))).astype(np.complex64))
+    gate_full = jnp.repeat(gate, d // hg, axis=-1)
+    mixed = gate_full * jnp.fft.rfft(v, axis=1)
+    if mem is not None:
+        mixed = mixed + mem
+    ref = np.asarray(jnp.fft.irfft(mixed, n=n, axis=1))
+    assert pf.pallas_mix_supported(n)
+    got = np.asarray(pf.fused_spectral_mix(v, gate, mem, n_fft=n))
+    assert rel_err(got, ref) < 2e-6
+
+
 def test_pallas_block_and_grads_match_jnp():
     base = dict(embed_dim=128, num_heads=2, n_fft=64, pooling_type="mean",
                 wavelet_on_rate=0.0, memory_size=8)
@@ -75,7 +103,10 @@ def test_pallas_support_predicate():
     assert pf.pallas_mix_supported(2048)
     assert pf.pallas_mix_supported(4096)          # raised VMEM scoped limit
     assert pf.pallas_mix_supported(8192)
-    assert not pf.pallas_mix_supported(16384)     # VMEM bound (falls back)
+    assert pf.pallas_mix_supported(16384)         # two-pass streamed kernel
+    assert pf.pallas_mix_supported(32768)
+    assert pf.pallas_mix_supported(65536)         # phase-1 spectrum in HBM
+    assert not pf.pallas_mix_supported(131072)    # beyond the plan table
     assert not pf.pallas_mix_supported(63)        # odd
 
 
