@@ -1,0 +1,121 @@
+"""Full-model SPECTRE-350M generation benchmark at n_fft 16k.
+
+The decode story the paper leads with (reference decode path
+`/root/reference/spectre.py:562-611` is per-head, batch-1, layer-less;
+this is the framework's batched, multi-layer version): prefill a 16k-token
+prompt through all 24 layers, then steady-state O(F·d)-per-token decode.
+
+Reports prefill seconds and steady-state ms/token + tokens/s.  Steady
+state is slope-timed (chained scan at two depths, one transfer — see
+bench.py for why per-call walls lie on this relay).  The decode step is
+bandwidth-bound on prefix-FFT state traffic: each token reads+writes the
+(F, d) spectrum per layer => ~2 * 2*8193*1024*4B * 24 ≈ 3.2 GB/token of
+HBM, a ~4 ms floor at v5e's ~819 GB/s — the printed ratio says how close
+the XLA-fused update runs.
+
+Usage: PYTHONPATH=.:/root/.axon_site python benchmarks/bench_350m_decode.py
+         [--seq 16384] [--batch 1] [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fft_tpu.models.lm import (lm_decode_step, lm_prefill,
+                               spectre_350m_config)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=16384)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--f32", dest="bf16", action="store_false")
+    ap.add_argument("--k", type=int, default=48,
+                    help="deep-chain decode depth (slope upper point)")
+    args = ap.parse_args()
+
+    import dataclasses
+    cfg = spectre_350m_config(seq=args.seq)
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg, block=dataclasses.replace(cfg.block,
+                                           compute_dtype="bfloat16"))
+    from fft_tpu.models.lm import lm_init
+    params = lm_init(jax.random.key(0), cfg)
+    prompt = jax.random.randint(jax.random.key(1), (args.batch, args.seq - 64),
+                                0, cfg.vocab_size, jnp.int32)
+
+    # ---- prefill: slope-timed via a self-feeding chain (the token at
+    # position 0 depends on the previous iteration's logits, so the relay
+    # can't overlap iterations) ----
+    def prefill_chain(tokens, k):
+        def body(tok0, _):
+            t = tokens.at[:, 0].set(tok0)
+            logits, _ = lm_prefill(params, cfg, t)
+            return jnp.argmax(logits, -1).astype(jnp.int32), None
+        tok, _ = jax.lax.scan(body, tokens[:, 0], None, length=k)
+        return tok[0]
+
+    p_lo = jax.jit(lambda t: prefill_chain(t, 1))
+    p_hi = jax.jit(lambda t: prefill_chain(t, 3))
+    int(np.asarray(p_lo(prompt)))
+    int(np.asarray(p_hi(prompt)))
+
+    def timed(f, *a):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(*a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    prefill_s = (timed(p_hi, prompt) - timed(p_lo, prompt)) / 2
+
+    # ---- steady-state decode ----
+    logits, caches = jax.jit(lambda t: lm_prefill(params, cfg, t))(prompt)
+    pos0 = prompt.shape[1]
+
+    def decode_chain(caches, logits, k):
+        def body(carry, i):
+            caches, logits = carry
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            logits, caches = lm_decode_step(params, cfg, tok, pos0 + i,
+                                            caches)
+            return (caches, logits), None
+        (caches, logits), _ = jax.lax.scan(body, (caches, logits),
+                                           jnp.arange(k))
+        return logits[0, 0]
+
+    k_lo, k_hi = args.k // 6, args.k
+    d_lo = jax.jit(lambda c, l: decode_chain(c, l, k_lo))
+    d_hi = jax.jit(lambda c, l: decode_chain(c, l, k_hi))
+    float(np.asarray(d_lo(caches, logits)))
+    float(np.asarray(d_hi(caches, logits)))
+    tok_s = (timed(d_hi, caches, logits) - timed(d_lo, caches, logits)) \
+        / (k_hi - k_lo)
+
+    f_half = args.seq // 2 + 1
+    state_gb = (2 * 2 * f_half * cfg.embed_dim * 4 * cfg.num_layers
+                * args.batch) / 1e9
+    floor_ms = state_gb / 819 * 1e3
+    print(json.dumps({
+        "model": "spectre_350m", "seq": args.seq, "batch": args.batch,
+        "dtype": "bf16" if args.bf16 else "f32",
+        "prefill_s": round(prefill_s, 3),
+        "prefill_tok_s": round(args.batch * prompt.shape[1] / prefill_s),
+        "decode_ms_per_tok": round(tok_s * 1e3, 3),
+        "decode_tok_s": round(args.batch / tok_s, 1),
+        "hbm_floor_ms_per_tok": round(floor_ms, 3),
+        "pct_of_bandwidth_bound": round(100 * floor_ms / (tok_s * 1e3), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

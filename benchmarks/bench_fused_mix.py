@@ -92,11 +92,20 @@ def main():
                 "roofline_ms": round(roof_ms, 4),
                 "pct_roofline": round(100 * roof_ms / ms, 1),
             }
-        v32 = jax.random.normal(jax.random.key(1), (b, n, d), jnp.bfloat16)
-        rec["unfused_matmul_ms"] = round(
+        # unfused baselines at MATCHED precision (fast bf16 vs fast bf16,
+        # exact f32 vs exact f32) so the fused/unfused ratio is honest
+        vb = jax.random.normal(jax.random.key(1), (b, n, d), jnp.bfloat16)
+        rec["unfused_fast_bf16_ms"] = round(
+            slope_time(lambda h, gr, gi: _unfused_mix(
+                h, jax.lax.complex(gr, gi), None, n, fast=True),
+                (vb, g_r, g_i)), 4)
+        v32 = jax.random.normal(jax.random.key(1), (b, n, d), jnp.float32)
+        rec["unfused_exact_f32_ms"] = round(
             slope_time(lambda h, gr, gi: _unfused_mix(
                 h, jax.lax.complex(gr, gi), None, n), (v32, g_r, g_i)),
             4)
+        rec["fused_vs_unfused"] = round(
+            rec["unfused_fast_bf16_ms"] / rec["fast_bf16"]["ms"], 2)
         print(json.dumps(rec), flush=True)
 
 
