@@ -310,6 +310,16 @@ def cmd_train_vit(args):
     from fft_tpu.train.loop import classification_loss
     from fft_tpu.utils import MetricsLogger
 
+    from fft_tpu.train.images import (ImageFolderDataset,
+                                      synthetic_image_batches)
+
+    dataset = None
+    if args.data is not None:
+        dataset = ImageFolderDataset(args.data)
+        if args.classes != dataset.num_classes:
+            print(f"--classes {args.classes} -> {dataset.num_classes} "
+                  f"(from {args.data})")
+            args.classes = dataset.num_classes
     cfg = ViTConfig(num_classes=args.classes, num_layers=args.layers)
     params = vit_init(jax.random.key(args.seed), cfg)
     opt = optax.adamw(args.lr)
@@ -337,12 +347,15 @@ def cmd_train_vit(args):
                           jax.random.key_data(key)), loss
 
     # resumed runs continue the data stream from the restored step
-    rng = np.random.default_rng(args.seed + start)
+    batches = (dataset.batches(args.batch, seed=args.seed + start)
+               if dataset is not None
+               else synthetic_image_batches(args.batch, cfg.image_size,
+                                            args.classes,
+                                            seed=args.seed + start))
     try:
         for i in range(start, args.steps):
-            imgs = jnp.asarray(rng.standard_normal(
-                (args.batch, cfg.image_size, cfg.image_size, 3), np.float32))
-            labels = jnp.asarray(rng.integers(0, args.classes, args.batch))
+            imgs_np, labels_np = next(batches)
+            imgs, labels = jnp.asarray(imgs_np), jnp.asarray(labels_np)
             state, loss = step(state, imgs, labels)
             if i % args.log_every == 0:
                 logger.log(i, {"loss": loss})
@@ -519,6 +532,9 @@ def main(argv=None):
     vit = sub.add_parser("train-vit")
     vit.add_argument("--steps", type=int, default=100)
     vit.add_argument("--batch", type=int, default=32)
+    vit.add_argument("--data", default=None,
+                     help="ImageFolder root (class-per-subdir); default: "
+                          "synthetic class-conditional images")
     vit.add_argument("--classes", type=int, default=1000)
     vit.add_argument("--layers", type=int, default=12)
     vit.add_argument("--lr", type=float, default=3e-4)
