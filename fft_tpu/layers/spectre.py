@@ -426,8 +426,12 @@ def spectre_multihead_apply(
     # composition below — same math, unfused.
     use_fused = cfg.fft_impl == "pallas" and not cfg.causal and sp_mesh is None
     if use_fused:
-        from fft_tpu.kernels.pallas_fft import pallas_mix_supported
-        use_fused = pallas_mix_supported(cfg.n_fft) and d % 128 == 0
+        from fft_tpu.kernels import pallas_fft as pf
+        # fall back on CPU unless the interpreter is on (tests): a real
+        # pallas_call has no CPU lowering, and fft_impl="pallas" promises
+        # never to dead-end (tests/test_fftimpl_pallas.py)
+        use_fused = (pf.pallas_mix_supported(cfg.n_fft) and d % 128 == 0
+                     and (jax.default_backend() != "cpu" or pf.INTERPRET))
     if use_fused:
         from fft_tpu.kernels.pallas_fft import spectral_mix
 

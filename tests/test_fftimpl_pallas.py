@@ -70,9 +70,10 @@ def test_pallas_causal_train_step_runs():
 
 
 def test_pallas_unsupported_nfft_falls_back():
-    """Non-causal fused path with n_fft outside the kernel bound (now
-    n_fft > 8192): silently uses the unfused matmul composition (was an
-    AssertionError)."""
+    """Non-causal fused path with n_fft outside every kernel plan (odd
+    sizes; 16384 is two-pass-kernel territory since r3 but still falls
+    back HERE because the backend is CPU and the interpreter is off):
+    silently uses the unfused matmul composition (was an AssertionError)."""
     mk = lambda impl: SpectreConfig(
         embed_dim=128, num_heads=4, n_fft=16384, pooling_type="mean",
         wavelet_on_rate=0.0, fft_impl=impl)
