@@ -73,12 +73,11 @@ def _mix_factors(n_fft: int):
 
 def pallas_mix_supported(n_fft: int) -> bool:
     """<= 8192: whole-slab kernels (direct/staged).  16384-65536: the
-    two-pass streamed kernel (`_twopass_mix_call`) — phase 1 accumulates
-    the four-step block-DFT into a VMEM-resident spectrum scratch, phase 2
-    streams kappa-chunks through twiddle -> stage-2 DFT -> untangle ->
-    gate -> inverse, so VMEM never holds stage temporaries at full-slab
-    size.  At 65536 the spectrum itself exceeds VMEM and phase 1 runs as
-    one XLA matmul with the spectrum in HBM."""
+    two-pass streamed kernel (`_twopass_mix_call`) — phase 1 computes the
+    four-step block DFT into a VMEM spectrum scratch with one full-depth
+    matmul, phase 2 walks fat kappa-chunks through twiddle -> stage-2 DFT
+    -> untangle -> gate -> inverse, so VMEM never holds stage temporaries
+    at full-slab size (dblk shrinks with n_fft to fit)."""
     return (_mix_factors(n_fft) is not None and n_fft <= 8192) or (
         _twopass_plan(n_fft) is not None)
 
@@ -836,27 +835,29 @@ spectral_mix.defvjp(_mix_fwd, _mix_bwd)
 # Two-pass streamed kernel (n_fft 16384-65536).  The whole-slab staged
 # kernel dies past 8192 because its ~10 live (n2, 2*dblk) f32 stage buffers
 # outgrow VMEM.  Here the packed-real DFT of length n2 = f1*f2 is run as
-# the four-step algorithm with the factor split across a SEQUENTIAL grid
-# axis:
+# the four-step algorithm with the kappa factor split across a SEQUENTIAL
+# grid axis:
 #
 #   z[m], m = q*f1 + c                 (contiguous f1-row blocks, q in f2)
 #   S[kappa, c]   = sum_q z[q f1 + c] e^{-2pi i q kappa / f2}     (phase 1)
 #   X[kappa+f2 k1] = sum_c e^{-2pi i c k1/f1} (e^{-2pi i c kappa/n2} S)
 #                                                                 (phase 2)
 #
-# Phase 1 accumulates S into a VMEM scratch over q-block grid steps (one
-# (f2, qc) @ (qc, f1*2dblk) matmul per step).  Phase 2 walks kappa-chunks:
-# each chunk's spectrum rows live ONLY inside that step — twiddle, stage-2
-# DFT, real-FFT untangle, gate multiply, inverse untangle, inverse stage —
-# and its contribution to every output position is accumulated into a
-# second (n2, 2dblk) scratch via the inverse q-contraction
-# z'[q f1 + c] += sum_kappa e^{+2pi i q kappa/f2} (...).  VMEM peak is
-# 24 * n2 * dblk bytes (spectrum scratch 16, output accumulator 8) — 25/50
-# MB at 16k/32k — instead of the staged kernel's ~40 * n2 * dblk of
-# simultaneous stage temporaries.  At 65536 the spectrum scratch alone
-# would be 64 MB + 32 acc, so phase 1 runs as one XLA einsum with S in HBM
-# and the kernel streams it per chunk (one extra S round-trip, amortized at
-# that size).
+# Step 0 (phase 1) computes S in ONE full-depth (f2, f2) @ (f2, f1*2dblk)
+# matmul — the v block is small enough to sit resident once dblk is chosen
+# by the VMEM model below, so no q-streaming/accumulation is needed (the
+# first cut of this kernel accumulated S over qc-row steps and the output
+# over kc=8-row chunks; those depth-8/16 matmuls plus the full-scratch
+# read-modify-write per step measured SLOWER than the unfused composition
+# — 1.79 vs 1.31 ms at 16k).  Steps 1..nk each process a FAT kappa-chunk
+# (kc rows, kc*f1*2dblk*4 bounded by a temporaries budget): twiddle ->
+# stage-2 DFT (depth f1=128) -> real-FFT untangle -> gate -> inverse
+# untangle -> inverse stage -> inverse twiddle, then one depth-kc
+# q-contraction accumulated into the output scratch (nk <= 4, so the
+# accumulator is touched at most 4 times).  dblk shrinks with n_fft
+# (64/64/32 at 16k/32k/64k) to keep everything — v block, spectrum
+# scratches, accumulator, chunk temporaries — inside the ~116 MB scoped
+# VMEM; the whole transform runs with NO HBM round trips between stages.
 #
 # The T- branch of the inverse untangle rides the same transforms via the
 # conj identity (T-(x) = conj(T+(conj x))): the am/cm planes are
@@ -870,23 +871,26 @@ spectral_mix.defvjp(_mix_fwd, _mix_bwd)
 # call sites; DC/Nyquist imaginary drop per torch.fft.irfft).
 # ---------------------------------------------------------------------------
 
-_TP_QC = 16           # q-blocks folded into one phase-1 grid step
-_TP_KC = 8            # kappa rows per phase-2 chunk
+# dblk halves as n_fft doubles so every VMEM resident scales O(1):
+# spectrum scratches 2*(n2*2dblk*4) = 33.5 MB, accumulator 16.8, chunk
+# temporaries ~31 (kc = f2/4 keeps per-chunk arrays at 2.1 MB), v/out
+# blocks <= 8.4 each — ~100 MB total at every size, inside the ~116 MB
+# scoped limit.  The kernel works on a (b, nj, n, dblk) folded layout
+# (block == array dims satisfies Mosaic's last-two-dims rule for any
+# dblk); the fold/unfold transposes are one XLA copy each.
+_TP_DBLK = {16384: 128, 32768: 64, 65536: 32}
 
 
 def _twopass_plan(n_fft: int):
-    """(f1, f2, qc, kc, s_in_hbm) or None."""
-    if n_fft < 16384 or n_fft > 65536 or n_fft % 2:
+    """(f1, f2, kc, dblk) or None."""
+    dblk = _TP_DBLK.get(n_fft)
+    if dblk is None:
         return None
     n2 = n_fft // 2
     f1 = 128
-    if n2 % f1:
-        return None
     f2 = n2 // f1
-    qc, kc = _TP_QC, _TP_KC
-    if f2 % qc or f2 % kc:
-        return None
-    return f1, f2, qc, kc, n_fft >= 65536
+    kc = f2 // 4
+    return f1, f2, kc, dblk
 
 
 @functools.lru_cache(maxsize=None)
@@ -895,9 +899,9 @@ def _twopass_consts(n_fft: int):
     chunk-major (chunk, k1, kappa_in_chunk) row order."""
     plan = _twopass_plan(n_fft)
     assert plan is not None, n_fft
-    f1, f2, qc, kc, _ = plan
+    f1, f2, kc, dblk = plan
     n2 = n_fft // 2
-    nq, nk = f2 // qc, f2 // kc
+    nk = f2 // kc
 
     # kernel row r = ci*(f1*kc) + k1*kc + ki  ->  natural k
     ci, k1, ki = np.meshgrid(np.arange(nk), np.arange(f1), np.arange(kc),
@@ -924,9 +928,8 @@ def _twopass_consts(n_fft: int):
 
     q = np.arange(f2)
     kap = np.arange(f2)
-    # phase-1 block-DFT columns, one (f2, qc) block per grid step
+    # phase-1 block DFT, ONE full-depth (f2, f2) matmul
     w2 = np.exp(-2j * np.pi * np.outer(kap, q) / f2)
-    w2b = w2.reshape(f2, nq, qc).transpose(1, 0, 2)          # (nq, f2, qc)
     # inverse q-contraction columns, one (f2, kc) block per chunk
     wi = np.exp(+2j * np.pi * np.outer(q, kap) / f2)
     wib = wi.reshape(f2, nk, kc).transpose(1, 0, 2)          # (nk, f2, kc)
@@ -947,9 +950,9 @@ def _twopass_consts(n_fft: int):
     air, aii = rows(a_inv)
     cir, cii = rows(c_inv)
     return dict(
-        f1=f1, f2=f2, qc=qc, kc=kc, nq=nq, nk=nk, perm=perm,
+        f1=f1, f2=f2, kc=kc, dblk=dblk, nk=nk, perm=perm,
         b0=complex(b_inv[0]),
-        w2br=f32(w2b.real), w2bi=f32(w2b.imag),
+        w2r=f32(w2.real), w2i=f32(w2.imag),
         wibr=f32(wib.real), wibi=f32(wib.imag),
         twfr=f32(twfb.real), twfi=f32(twfb.imag),
         twir=f32(twib.real), twii=f32(twib.imag),
@@ -1008,30 +1011,20 @@ def _tp_phase2_body(sr, si, twfr, twfi, s1r, s1i, is1r, is1i,
     return rr, ri
 
 
-def _make_twopass_kernel(n_fft: int, precision, dblk: int, s_in_hbm: bool):
+def _make_twopass_kernel(n_fft: int, precision, dblk: int):
     cst = _twopass_consts(n_fft)
-    f1, f2, qc, kc = cst["f1"], cst["f2"], cst["qc"], cst["kc"]
-    nq = 0 if s_in_hbm else cst["nq"]
-    nk = cst["nk"]
-    nsteps = nq + nk
+    f1, f2, kc, nk = cst["f1"], cst["f2"], cst["kc"], cst["nk"]
+    nsteps = 1 + nk
     n2 = n_fft // 2
     b0r, b0i = cst["b0"].real, cst["b0"].imag
 
     def kernel(*refs):
-        if s_in_hbm:
-            (sr_ref, si_ref, nyq_ref, gr_ref, gi_ref, gn_ref, e_ref,
-             wib_r, wib_i, twf_r, twf_i, twi_r, twi_i,
-             s1r_ref, s1i_ref, is1r_ref, is1i_ref,
-             afr_ref, afi_ref, bfr_ref, bfi_ref,
-             air_ref, aii_ref, cir_ref, cii_ref, dc_ref,
-             o_ref, acc_scr) = refs
-        else:
-            (v_ref, gr_ref, gi_ref, gn_ref, e_ref,
-             w2b_r, w2b_i, wib_r, wib_i, twf_r, twf_i, twi_r, twi_i,
-             s1r_ref, s1i_ref, is1r_ref, is1i_ref,
-             afr_ref, afi_ref, bfr_ref, bfi_ref,
-             air_ref, aii_ref, cir_ref, cii_ref, dc_ref,
-             o_ref, sr_scr, si_scr, acc_scr, nyq_scr) = refs
+        (v_ref, gr_ref, gi_ref, gn_ref, e_ref,
+         w2r_ref, w2i_ref, wib_r, wib_i, twf_r, twf_i, twi_r, twi_i,
+         s1r_ref, s1i_ref, is1r_ref, is1i_ref,
+         afr_ref, afi_ref, bfr_ref, bfi_ref,
+         air_ref, aii_ref, cir_ref, cii_ref, dc_ref,
+         o_ref, sr_scr, si_scr, acc_scr, nyq_scr) = refs
         step = pl.program_id(2)
 
         def mm(a, b):
@@ -1040,33 +1033,23 @@ def _make_twopass_kernel(n_fft: int, precision, dblk: int, s_in_hbm: bool):
                                        precision=precision)
 
         @pl.when(step == 0)
-        def _zero():
+        def _phase1():
+            # full-depth block DFT: z (f2, f1*2dblk) resident, ONE
+            # (f2, f2) matmul pair writes the whole spectrum scratch
+            blk = v_ref[0, 0].astype(jnp.float32)      # (n, dblk)
+            zs = blk.reshape(n2, 2 * dblk)             # [z_re | z_im] lanes
+            zq = zs.reshape(f2, f1 * 2 * dblk)
+            sr_scr[:] = mm(w2r_ref[:], zq)
+            si_scr[:] = mm(w2i_ref[:], zq)
+            nyq_scr[0:1] = jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
+                                   keepdims=True)
             acc_scr[:] = jnp.zeros((n2, 2 * dblk), jnp.float32)
-            if not s_in_hbm:
-                sr_scr[:] = jnp.zeros((f2, f1 * 2 * dblk), jnp.float32)
-                si_scr[:] = jnp.zeros((f2, f1 * 2 * dblk), jnp.float32)
-                nyq_scr[:] = jnp.zeros((8, dblk), jnp.float32)
 
-        if not s_in_hbm:
-            @pl.when(step < nq)
-            def _phase1():
-                blk = v_ref[0].astype(jnp.float32)     # (2*qc*f1, dblk)
-                zs = blk.reshape(qc * f1, 2 * dblk)    # [z_re | z_im] lanes
-                zq = zs.reshape(qc, f1 * 2 * dblk)
-                sr_scr[:] = sr_scr[:] + mm(w2b_r[0], zq)
-                si_scr[:] = si_scr[:] + mm(w2b_i[0], zq)
-                nyq_scr[0:1] = nyq_scr[0:1] + jnp.sum(
-                    zs[:, :dblk] - zs[:, dblk:], axis=0, keepdims=True)
-
-        @pl.when(step >= nq)
+        @pl.when(step > 0)
         def _phase2():
-            if s_in_hbm:
-                sr = sr_ref[0].astype(jnp.float32).reshape(kc, f1, 2 * dblk)
-                si = si_ref[0].astype(jnp.float32).reshape(kc, f1, 2 * dblk)
-            else:
-                k0 = (step - nq) * kc
-                sr = sr_scr[pl.ds(k0, kc)].reshape(kc, f1, 2 * dblk)
-                si = si_scr[pl.ds(k0, kc)].reshape(kc, f1, 2 * dblk)
+            k0 = (step - 1) * kc
+            sr = sr_scr[pl.ds(k0, kc)].reshape(kc, f1, 2 * dblk)
+            si = si_scr[pl.ds(k0, kc)].reshape(kc, f1, 2 * dblk)
             e_mat = e_ref[0]
 
             def expand(g):
@@ -1105,24 +1088,22 @@ def _make_twopass_kernel(n_fft: int, precision, dblk: int, s_in_hbm: bool):
                     preferred_element_type=jnp.float32, precision=precision)
 
             contrib = mmq(wib_r[0], p_) + mmq(wib_i[0], m_)
-            acc_scr[:] = acc_scr[:] + contrib.reshape(n2, 2 * dblk)
-
-        @pl.when(step == nsteps - 1)
-        def _finalize():
-            if s_in_hbm:
-                x_nyq = nyq_ref[0]                    # (1, dblk)
+            if nk == 1:
+                acc = contrib.reshape(n2, 2 * dblk)
             else:
-                x_nyq = nyq_scr[0:1]
-            e_mat = e_ref[0]
-            gn = jax.lax.dot_general(
-                gn_ref[0], e_mat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
-            m_nyq = gn * x_nyq
-            acc = acc_scr[:]
-            z_r = acc[:, :dblk] + b0r * m_nyq
-            z_i = acc[:, dblk:] + b0i * m_nyq
-            y = jnp.stack([z_r, z_i], axis=1).reshape(n_fft, dblk)
-            o_ref[0] = y.astype(o_ref.dtype)
+                acc_scr[:] = acc_scr[:] + contrib.reshape(n2, 2 * dblk)
+
+            @pl.when(step == nsteps - 1)
+            def _finalize():
+                gn = jax.lax.dot_general(
+                    gn_ref[0], e_mat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision)
+                m_nyq = gn * nyq_scr[0:1]
+                a = acc if nk == 1 else acc_scr[:]
+                z_r = a[:, :dblk] + b0r * m_nyq
+                z_i = a[:, dblk:] + b0i * m_nyq
+                y = jnp.stack([z_r, z_i], axis=1).reshape(n_fft, dblk)
+                o_ref[0, 0] = y.astype(o_ref.dtype)
 
     return kernel, cst
 
@@ -1135,15 +1116,13 @@ def _twopass_mix_call(v, g_r, g_i, g_nyq, *, n_fft, interpret=False,
     b, n, d = v.shape
     assert n == n_fft
     plan = _twopass_plan(n_fft)
-    f1, f2, qc, kc, s_in_hbm = plan
+    f1, f2, kc, dblk = plan
     n2 = n_fft // 2
-    dblk = _DBLK
     assert d % dblk == 0, (d, dblk)
     precision = jax.lax.Precision.DEFAULT if fast else _PREC
-    kernel, cst = _make_twopass_kernel(n_fft, precision, dblk, s_in_hbm)
-    nq = 0 if s_in_hbm else cst["nq"]
+    kernel, cst = _make_twopass_kernel(n_fft, precision, dblk)
     nk = cst["nk"]
-    nsteps = nq + nk
+    nsteps = 1 + nk
     hg = g_r.shape[-1]
 
     # one-hot group->channel expansion per d-block (Mosaic has no lane
@@ -1155,43 +1134,17 @@ def _twopass_mix_call(v, g_r, g_i, g_nyq, *, n_fft, interpret=False,
             blk[j, (j * dblk + l) // d_per_col, l] = 1.0
 
     def chunk_idx(s):
-        return jnp.maximum(s - nq, 0)
+        return jnp.maximum(s - 1, 0)
 
-    data_specs = []
-    args = []
-
-    if s_in_hbm:
-        # phase 1 as one XLA matmul pair, spectrum in HBM (the (f2,
-        # f1*2*dblk) scratch alone would be 64 MB at 65536)
-        zs = v.reshape(b, n2, 2, d).astype(jnp.float32)
-        zq = zs.reshape(b, f2, f1 * 2 * d)
-        w2 = np.exp(-2j * np.pi * np.outer(np.arange(f2), np.arange(f2))
-                    / f2)
-        sr = jnp.einsum("kq,bqx->bkx", jnp.asarray(w2.real, jnp.float32),
-                        zq, precision=precision,
-                        preferred_element_type=jnp.float32)
-        si = jnp.einsum("kq,bqx->bkx", jnp.asarray(w2.imag, jnp.float32),
-                        zq, precision=precision,
-                        preferred_element_type=jnp.float32)
-        sr = sr.reshape(b, f2, f1, 2, d)
-        si = si.reshape(b, f2, f1, 2, d)
-        nyq = (zs[:, :, 0, :] - zs[:, :, 1, :]).sum(axis=1)[:, None, :]
-        for arr in (sr, si):
-            data_specs.append(pl.BlockSpec(
-                (1, kc, f1, 2, dblk),
-                lambda i, j, s: (i, chunk_idx(s), 0, 0, j),
-                memory_space=pltpu.VMEM))
-            args.append(arr)
-        data_specs.append(pl.BlockSpec(
-            (1, 1, dblk), lambda i, j, s: (i, 0, j),
-            memory_space=pltpu.VMEM))
-        args.append(nyq)
-    else:
-        data_specs.append(pl.BlockSpec(
-            (1, 2 * qc * f1, dblk),
-            lambda i, j, s: (i, jnp.minimum(s, nq - 1), j),
-            memory_space=pltpu.VMEM))
-        args.append(v)
+    # fold the d-blocks into their own axis so the v/out blocks equal the
+    # array dims (Mosaic's last-two-dims rule allows any dblk that way);
+    # the full per-program v block is resident (index constant in s)
+    nj = d // dblk
+    vk = jnp.transpose(v.reshape(b, n, nj, dblk), (0, 2, 1, 3))
+    data_specs = [pl.BlockSpec((1, 1, n, dblk),
+                               lambda i, j, s: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)]
+    args = [vk]
 
     # gate (pre-permuted, chunk-major) + nyquist gate + one-hot expander
     data_specs += [
@@ -1206,14 +1159,11 @@ def _twopass_mix_call(v, g_r, g_i, g_nyq, *, n_fft, interpret=False,
     ]
     args += [g_r, g_i, g_nyq, jnp.asarray(blk)]
 
-    if not s_in_hbm:
-        for name in ("w2br", "w2bi"):
-            arr = cst[name]                           # (nq, f2, qc)
-            data_specs.append(pl.BlockSpec(
-                (1,) + arr.shape[1:],
-                lambda i, j, s: (jnp.minimum(s, nq - 1), 0, 0),
-                memory_space=pltpu.VMEM))
-            args.append(jnp.asarray(arr))
+    for name in ("w2r", "w2i"):
+        arr = cst[name]                               # (f2, f2) resident
+        data_specs.append(pl.BlockSpec(
+            arr.shape, lambda i, j, s: (0, 0), memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(arr))
     for name in ("wibr", "wibi", "twfr", "twfi", "twir", "twii"):
         arr = cst[name]                               # (nk, ., .)
         data_specs.append(pl.BlockSpec(
@@ -1234,14 +1184,12 @@ def _twopass_mix_call(v, g_r, g_i, g_nyq, *, n_fft, interpret=False,
             memory_space=pltpu.VMEM))
         args.append(jnp.asarray(arr))
 
-    scratch = [pltpu.VMEM((n2, 2 * dblk), jnp.float32)]
-    if not s_in_hbm:
-        scratch = [
-            pltpu.VMEM((f2, f1 * 2 * dblk), jnp.float32),
-            pltpu.VMEM((f2, f1 * 2 * dblk), jnp.float32),
-            pltpu.VMEM((n2, 2 * dblk), jnp.float32),
-            pltpu.VMEM((8, dblk), jnp.float32),
-        ]
+    scratch = [
+        pltpu.VMEM((f2, f1 * 2 * dblk), jnp.float32),
+        pltpu.VMEM((f2, f1 * 2 * dblk), jnp.float32),
+        pltpu.VMEM((n2, 2 * dblk), jnp.float32),
+        pltpu.VMEM((8, dblk), jnp.float32),
+    ]
 
     kwargs = {"scratch_shapes": scratch}
     if not interpret:
@@ -1249,14 +1197,16 @@ def _twopass_mix_call(v, g_r, g_i, g_nyq, *, n_fft, interpret=False,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT)
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
-        grid=(b, d // dblk, nsteps),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), v.dtype),
+        grid=(b, nj, nsteps),
+        out_shape=jax.ShapeDtypeStruct((b, nj, n, dblk), v.dtype),
         in_specs=data_specs,
-        out_specs=pl.BlockSpec((1, n, dblk), lambda i, j, s: (i, 0, j),
+        out_specs=pl.BlockSpec((1, 1, n, dblk),
+                               lambda i, j, s: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **kwargs,
     )(*args)
+    return jnp.transpose(y, (0, 2, 1, 3)).reshape(b, n, d)
 
