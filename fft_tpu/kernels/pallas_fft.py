@@ -47,6 +47,9 @@ _DBLK = 128
 _PREC = jax.lax.Precision.HIGHEST
 # Tests on CPU set this to run the kernel through the Pallas interpreter.
 INTERPRET = False
+# 16k-65536 two-pass kernel: parity-exact but not yet faster than the
+# unfused composition on chip (see pallas_mix_supported docstring)
+TWOPASS_ENABLE = False
 
 
 def _mix_factors(n_fft: int):
@@ -77,9 +80,17 @@ def pallas_mix_supported(n_fft: int) -> bool:
     four-step block DFT into a VMEM spectrum scratch with one full-depth
     matmul, phase 2 walks fat kappa-chunks through twiddle -> stage-2 DFT
     -> untangle -> gate -> inverse, so VMEM never holds stage temporaries
-    at full-slab size (dblk shrinks with n_fft to fit)."""
-    return (_mix_factors(n_fft) is not None and n_fft <= 8192) or (
-        _twopass_plan(n_fft) is not None)
+    at full-slab size (dblk shrinks with n_fft to fit).
+
+    TWOPASS_ENABLE gates the 16k+ sizes and currently defaults OFF: the
+    kernel is parity-exact but measured 1.41 ms vs the unfused
+    composition's 1.32 at 16k on v5e (its 3-D middle-dim contractions
+    relayout every chunk), and the sub-128-lane reshape at 32k+ hits a
+    Mosaic 'unsupported shape cast'.  Honest negative, recorded in
+    RESULTS.md; the dispatch falls back to the matmul composition."""
+    if _mix_factors(n_fft) is not None and n_fft <= 8192:
+        return True
+    return TWOPASS_ENABLE and _twopass_plan(n_fft) is not None
 
 
 @functools.lru_cache(maxsize=None)
