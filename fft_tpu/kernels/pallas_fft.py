@@ -296,6 +296,11 @@ def _direct_mix_call(v, g_r, g_i, mem_t, *, n_fft, interpret=False,
         # 256/512 tie within noise; both clearly beat 128.
         dblk = (512 if d % 512 == 0 else
                 256 if d % 256 == 0 else _DBLK)
+        if not fast and n_fft >= 2048:
+            # exact mode: HIGHEST-precision multi-pass dots inflate the
+            # scoped-VMEM stack; dblk 512 at n_fft 2048 measured 5 MB
+            # over the 116 MB limit inside deep scan chains
+            dblk = min(dblk, 256)
     precision = jax.lax.Precision.DEFAULT if fast else _PREC
     kernel = _make_direct_kernel(n_fft, with_memory, precision, dblk)
     mr, mi, ar, ai = _direct_consts(n_fft)
