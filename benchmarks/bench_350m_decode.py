@@ -52,34 +52,25 @@ def main():
     prompt = jax.random.randint(jax.random.key(1), (args.batch, args.seq - 64),
                                 0, cfg.vocab_size, jnp.int32)
 
-    # ---- prefill: slope-timed via a self-feeding chain (the token at
-    # position 0 depends on the previous iteration's logits, so the relay
-    # can't overlap iterations) ----
-    def prefill_chain(tokens, k):
-        def body(tok0, _):
-            t = tokens.at[:, 0].set(tok0)
-            logits, _ = lm_prefill(params, cfg, t)
-            return jnp.argmax(logits, -1).astype(jnp.int32), None
-        tok, _ = jax.lax.scan(body, tokens[:, 0], None, length=k)
-        return tok[0]
-
-    p_lo = jax.jit(lambda t: prefill_chain(t, 1))
-    p_hi = jax.jit(lambda t: prefill_chain(t, 3))
-    int(np.asarray(p_lo(prompt)))
-    int(np.asarray(p_hi(prompt)))
+    # ---- prefill: direct best-of-3 walls.  Prefill at 16k is ~1 s, so
+    # the ~30-40 ms relay RTT is a <5% error — not worth the chained-scan
+    # slope graphs, which take >25 min to compile through the relay at
+    # this model size. ----
+    p_fn = jax.jit(lambda t: lm_prefill(params, cfg, t))
 
     def timed(f, *a):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(f(*a))
+            jax.tree.map(np.asarray, f(*a))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    prefill_s = (timed(p_hi, prompt) - timed(p_lo, prompt)) / 2
+    jax.tree.map(np.asarray, p_fn(prompt))          # compile + warm
+    prefill_s = timed(p_fn, prompt)
 
     # ---- steady-state decode ----
-    logits, caches = jax.jit(lambda t: lm_prefill(params, cfg, t))(prompt)
+    logits, caches = p_fn(prompt)
     pos0 = prompt.shape[1]
 
     def decode_chain(caches, logits, k):
