@@ -55,22 +55,25 @@ def main():
     # ---- prefill: direct best-of-3 walls.  Prefill at 16k is ~1 s, so
     # the ~30-40 ms relay RTT is a <5% error — not worth the chained-scan
     # slope graphs, which take >25 min to compile through the relay at
-    # this model size. ----
+    # this model size.  CRITICAL on this relay: force ONLY the logits to
+    # host — the caches are GBs and block_until_ready doesn't block, so
+    # a pytree transfer would time the HTTP tunnel, not the chip. ----
     p_fn = jax.jit(lambda t: lm_prefill(params, cfg, t))
 
     def timed(f, *a):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.tree.map(np.asarray, f(*a))
+            np.asarray(f(*a)[0])
             best = min(best, time.perf_counter() - t0)
         return best
 
-    jax.tree.map(np.asarray, p_fn(prompt))          # compile + warm
+    np.asarray(p_fn(prompt)[0])                     # compile + warm
     prefill_s = timed(p_fn, prompt)
 
     # ---- steady-state decode ----
     logits, caches = p_fn(prompt)
+    np.asarray(logits)                              # fence before timing
     pos0 = prompt.shape[1]
 
     def decode_chain(caches, logits, k):
