@@ -100,15 +100,21 @@ def main():
     float(np.asarray(f_lo(params, x)))           # compile + sanity transfer
     float(np.asarray(f_hi(params, x)))
 
-    def timed(f):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(np.asarray(f(params, x)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def timed_once(f):
+        t0 = time.perf_counter()
+        float(np.asarray(f(params, x)))
+        return time.perf_counter() - t0
 
-    dt = (timed(f_hi) - timed(f_lo)) / (k_hi - k_lo)
+    # Mean ± spread over independent slope estimates (VERDICT r3 weak 3:
+    # a single best-of-3 slope wobbled ±4% between artifacts).  Each round
+    # interleaves a fresh lo/hi pair so relay drift hits both ends.
+    slopes = []
+    for _ in range(4):
+        t_lo = min(timed_once(f_lo), timed_once(f_lo))
+        t_hi = min(timed_once(f_hi), timed_once(f_hi))
+        slopes.append((t_hi - t_lo) / (k_hi - k_lo))
+    dt = float(np.mean(slopes))
+    spread_pct = float(100.0 * np.std(slopes) / dt)
     toks_per_s = B * L / dt
 
     try:
@@ -121,6 +127,10 @@ def main():
         "value": round(toks_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(toks_per_s / BASELINE_TOKS_PER_S, 2),
+        "spread_pct": round(spread_pct, 1),
+        "slope_samples_ms": [round(s * 1e3, 3) for s in slopes],
+        "config": (f"B={B} L={L} d={D} bf16 fused-pallas mean-pool "
+                   f"mem=16 fwd+bwd, slope k={k_lo}->{k_hi}"),
         "causal_vs_attention_fwd": sweep,
     }))
 

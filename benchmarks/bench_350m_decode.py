@@ -39,10 +39,16 @@ def main():
     ap.add_argument("--f32", dest="bf16", action="store_false")
     ap.add_argument("--k", type=int, default=48,
                     help="deep-chain decode depth (slope upper point)")
+    ap.add_argument("--hbm-gbps", type=float, default=0.0,
+                    help="HBM bandwidth for the floor; 0 = measure on chip")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override layer count (CPU smoke runs); 0 = 24")
     args = ap.parse_args()
 
     import dataclasses
     cfg = spectre_350m_config(seq=args.seq)
+    if args.layers:
+        cfg = dataclasses.replace(cfg, num_layers=args.layers)
     if args.bf16:
         cfg = dataclasses.replace(
             cfg, block=dataclasses.replace(cfg.block,
@@ -60,16 +66,16 @@ def main():
     # a pytree transfer would time the HTTP tunnel, not the chip. ----
     p_fn = jax.jit(lambda t: lm_prefill(params, cfg, t))
 
-    def timed(f, *a):
+    def timed(f, *a, get=lambda r: r):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(f(*a)[0])
+            np.asarray(get(f(*a)))
             best = min(best, time.perf_counter() - t0)
         return best
 
     np.asarray(p_fn(prompt)[0])                     # compile + warm
-    prefill_s = timed(p_fn, prompt)
+    prefill_s = timed(p_fn, prompt, get=lambda r: r[0])
 
     # ---- steady-state decode ----
     logits, caches = p_fn(prompt)
@@ -85,20 +91,25 @@ def main():
             return (caches, logits), None
         (caches, logits), _ = jax.lax.scan(body, (caches, logits),
                                            jnp.arange(k))
-        return logits[0, 0]
+        return logits[:1, 0]    # 1-element array: 0-d can't index below
 
     k_lo, k_hi = args.k // 6, args.k
     d_lo = jax.jit(lambda c, l: decode_chain(c, l, k_lo))
     d_hi = jax.jit(lambda c, l: decode_chain(c, l, k_hi))
-    float(np.asarray(d_lo(caches, logits)))
-    float(np.asarray(d_hi(caches, logits)))
+    np.asarray(d_lo(caches, logits))                # compile + warm
+    np.asarray(d_hi(caches, logits))
     tok_s = (timed(d_hi, caches, logits) - timed(d_lo, caches, logits)) \
         / (k_hi - k_lo)
+
+    hbm_gbps = args.hbm_gbps
+    if not hbm_gbps:
+        from fft_tpu.utils.prof import measure_chip_constants
+        hbm_gbps = measure_chip_constants().hbm_gbps   # measured, not nominal
 
     f_half = args.seq // 2 + 1
     state_gb = (2 * 2 * f_half * cfg.embed_dim * 4 * cfg.num_layers
                 * args.batch) / 1e9
-    floor_ms = state_gb / 819 * 1e3
+    floor_ms = state_gb / hbm_gbps * 1e3
     print(json.dumps({
         "model": "spectre_350m", "seq": args.seq, "batch": args.batch,
         "dtype": "bf16" if args.bf16 else "f32",
@@ -106,6 +117,7 @@ def main():
         "prefill_tok_s": round(args.batch * prompt.shape[1] / prefill_s),
         "decode_ms_per_tok": round(tok_s * 1e3, 3),
         "decode_tok_s": round(args.batch / tok_s, 1),
+        "hbm_gbps": round(hbm_gbps, 1),
         "hbm_floor_ms_per_tok": round(floor_ms, 3),
         "pct_of_bandwidth_bound": round(100 * floor_ms / (tok_s * 1e3), 1),
     }))

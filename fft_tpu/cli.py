@@ -75,8 +75,10 @@ def cmd_train_lm(args):
     token_mode = is_token_file(data_path)
     if token_mode:
         tok_vocab = Tokenizer.load(vocab_sidecar(data_path)).vocab_size
-        assert tok_vocab <= cfg.vocab_size, (
-            f"corpus vocab {tok_vocab} exceeds model vocab {cfg.vocab_size}")
+        if tok_vocab > cfg.vocab_size:  # user input: must survive python -O
+            raise SystemExit(
+                f"corpus vocab {tok_vocab} exceeds model vocab "
+                f"{cfg.vocab_size}")
     if args.sp > 1 and cfg.block.causal:
         # SP needs the shard-local segmented causal algorithm
         # (layers/causal_seg.py); the 2N-FFT chunked path is global.

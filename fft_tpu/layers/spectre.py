@@ -301,8 +301,14 @@ def spectre_head_apply(
     if sp_mesh is not None:
         if sp_layout == "strided":
             from fft_tpu.parallel.dist_fft import sp_spectral_mix_strided
-            assert cfg.pooling_type in ("mean", "attention"), (
-                "strided SP layout needs an order-invariant pooler")
+            if cfg.pooling_type not in ("mean", "attention"):
+                # Trace-time (not a bare assert: survives python -O).  The
+                # strided layout hands each shard one residue class of the
+                # sequence; DCT pooling reads positions in order.
+                raise ValueError(
+                    f"pooling_type={cfg.pooling_type!r} is order-sensitive; "
+                    "the strided SP layout needs an order-invariant pooler "
+                    "(mean or attention) — use sp_layout='contiguous'")
             out = sp_spectral_mix_strided(v, gate_bc, memory_fft,
                                           n_fft=cfg.n_fft, mesh=sp_mesh)
         else:
@@ -531,15 +537,24 @@ def spectre_multihead_apply(
                 causal_impl=cfg.causal_impl, memory_fft=mem,
                 dropout_rng=drng, deterministic=deterministic)
     else:
-        if sp_mesh is not None and sp_layout == "strided":
-            # The strided layout reorders the sequence; the wavelet pyramid
-            # is order-sensitive.  (The contiguous SP layout is fine: Haar
-            # pairs never cross even-length shard boundaries, so GSPMD
-            # keeps every level shard-local until the residue is tiny —
-            # covered by test_sp_block_wavelet_matches_single_device.)
-            assert cfg.wavelet_on_rate == 0.0, (
-                "wavelet refinement needs the contiguous SP layout; set "
-                "wavelet_on_rate=0 for sp_layout='strided'")
+        if (sp_mesh is not None and sp_layout == "strided"
+                and cfg.wavelet_on_rate != 0.0):
+            # Trace-time config error (not a bare assert: survives
+            # python -O).  The strided layout hands each shard one residue
+            # class of the sequence, while the Haar pyramid pairs adjacent
+            # NATURAL positions — making it shard-local would need a full
+            # contiguous reshard (2 extra all-to-alls) around the wavelet,
+            # forfeiting exactly the 2-all-to-all optimality that is the
+            # strided layout's reason to exist.  The contiguous SP layout
+            # supports the wavelet as-is (Haar pairs never cross
+            # even-length shard boundaries, so GSPMD keeps every level
+            # shard-local until the residue is tiny — covered by
+            # test_sp_block_wavelet_matches_single_device); see
+            # docs/DESIGN.md "Parallelism map".
+            raise ValueError(
+                "wavelet refinement is order-sensitive and unsupported "
+                "under sp_layout='strided'; use the contiguous SP layout "
+                "or set wavelet_on_rate=0")
 
         def run(hp, xi, mem, drng):
             return spectre_head_apply(

@@ -117,7 +117,7 @@ class ImageFolderDataset:
         aug = rng if augment else None
         order: List[int] = []
         while True:
-            if len(order) < batch:
+            while len(order) < batch:   # datasets smaller than one batch
                 perm = rng.permutation(len(self.samples))
                 order.extend(int(i) for i in perm)
             idxs, order = order[:batch], order[batch:]

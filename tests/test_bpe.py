@@ -135,7 +135,8 @@ def test_cli_train_rejects_oversized_vocab(tmp_path):
     from fft_tpu.cli import main
     out = tmp_path / "big.tokens"
     tokenize_file(TEXT, str(out), vocab_size=512)
-    with pytest.raises(AssertionError, match="exceeds model vocab"):
+    # SystemExit (not assert): user-input validation must survive python -O
+    with pytest.raises(SystemExit, match="exceeds model vocab"):
         main(["train-lm", "--preset", "tiny", "--vocab-size", "300",
               "--data", str(out), "--steps", "1", "--batch", "2",
               "--seq", "128"])

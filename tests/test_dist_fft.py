@@ -224,3 +224,32 @@ def test_sp_block_wavelet_matches_single_device():
 
     got = np.asarray(run(params, x))
     assert rel_err(got, expected) < 2e-5
+
+
+def test_sp_strided_rejects_order_sensitive_config():
+    """Order-sensitive pieces fail FAST at trace time with a ValueError
+    under the strided layout (not a stripped-under-python-O assert):
+    wavelet refinement and DCT pooling both pair/scan NATURAL positions,
+    which the residue-class layout scrambles (docs/DESIGN.md)."""
+    from fft_tpu.config import SpectreConfig
+    from fft_tpu.layers import spectre_block_apply, spectre_block_init
+
+    mesh = make_mesh(data=1, seq=4, model=1)
+    n = 64
+    x = jax.random.normal(jax.random.key(1), (2, n, 32))
+
+    wcfg = SpectreConfig(embed_dim=32, num_heads=4, n_fft=n,
+                         pooling_type="mean", wavelet_on_rate=0.5,
+                         fft_impl="matmul")
+    wparams = spectre_block_init(jax.random.key(0), wcfg)
+    with pytest.raises(ValueError, match="wavelet refinement"):
+        spectre_block_apply(wparams, wcfg, x, sp_mesh=mesh,
+                            sp_layout="strided")
+
+    dcfg = SpectreConfig(embed_dim=32, num_heads=4, n_fft=n,
+                         pooling_type="dct", wavelet_on_rate=0.0,
+                         fft_impl="matmul")
+    dparams = spectre_block_init(jax.random.key(0), dcfg)
+    with pytest.raises(ValueError, match="order-invariant pooler"):
+        spectre_block_apply(dparams, dcfg, x, sp_mesh=mesh,
+                            sp_layout="strided")
