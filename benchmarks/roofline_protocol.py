@@ -41,8 +41,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fft_tpu.kernels.pallas_fft import fused_spectral_mix, pallas_mix_supported
-from fft_tpu.utils.prof import direct_mix_cost, measure_chip_constants
+from fft_tpu.kernels.pallas_fft import (_direct_supported, spectral_mix,
+                                        fused_spectral_mix,
+                                        pallas_mix_supported)
+from fft_tpu.utils.prof import (direct_mix_cost, measure_chip_constants,
+                                spectral_mix_cost, staged_mix_cost)
 
 
 def slope_sampler(fn, args, k_lo=8, k_hi=72):
@@ -89,12 +92,11 @@ def main():
     print(json.dumps({"chip_constants": {
         "hbm_gbps": round(cc.hbm_gbps, 1),
         "mxu_tflops_bf16": round(cc.mxu_tflops_bf16, 1),
-        "mxu_tflops_f32": round(cc.mxu_tflops_f32, 1)}}), flush=True)
+        "mxu_tflops_f32": round(cc.mxu_tflops_f32, 1),
+        "mxu_tflops_f32_highest": round(cc.mxu_tflops_f32_highest, 1),
+        "vpu_gops": round(cc.vpu_gops, 1)}}), flush=True)
 
     for n in (int(s) for s in args.seqs.split(",")):
-        if not pallas_mix_supported(n):
-            print(json.dumps({"seq": n, "skipped": "unsupported"}))
-            continue
         b = max(1, args.tokens // n)
         f = n // 2 + 1
         rng = np.random.default_rng(0)
@@ -104,29 +106,63 @@ def main():
         for mode, dtype in (("fast_bf16", jnp.bfloat16),
                             ("exact_f32", jnp.float32)):
             v = jax.random.normal(jax.random.key(1), (b, n, d), dtype)
-            sample = slope_sampler(
-                lambda h, gr, gi: fused_spectral_mix(
-                    h, jax.lax.complex(gr, gi), None, n_fft=n,
-                    fast=(dtype == jnp.bfloat16)),
-                (v, g_r, g_i))
+            # past the fused kernels' reach, measure the DISPATCHED path
+            # (the unfused matmul-FFT composition) against the same
+            # bounds — the documented 16k-64k answer (VERDICT r3 item 3)
+            fast = dtype == jnp.bfloat16
+            if pallas_mix_supported(n):
+                def mix(h, gr, gi, n=n, fast=fast):
+                    return fused_spectral_mix(h, jax.lax.complex(gr, gi),
+                                              None, n_fft=n, fast=fast)
+            else:
+                def mix(h, gr, gi, n=n, fast=fast):
+                    # custom_vjp: positional args only
+                    return spectral_mix(h, jax.lax.complex(gr, gi), None,
+                                        n, fast)
+            sample = slope_sampler(mix, (v, g_r, g_i))
             xs = np.asarray([sample() for _ in range(args.trials)])
 
-            cost = direct_mix_cost(b, n, d, hg=args.hg,
-                                   bytes_per_el=dtype.dtype.itemsize)
-            hbm_ms = cost.hbm_bytes / (cc.hbm_gbps * 1e9) * 1e3
+            # exact mode runs every MXU pass at Precision.HIGHEST — use
+            # the MEASURED HIGHEST peak (VERDICT r3: no estimated /6).
             tflops = (cc.mxu_tflops_bf16 if dtype == jnp.bfloat16
-                      else cc.mxu_tflops_f32)
-            mxu_ms = cost.flops / (tflops * 1e12) * 1e3
-            bound_ms = max(hbm_ms, mxu_ms)
-            governing = "mxu" if mxu_ms > hbm_ms else "hbm"
+                      else cc.mxu_tflops_f32_highest)
+            vpu_ms = 0.0
+            if _direct_supported(n):
+                kern = "direct"
+                cost = direct_mix_cost(b, n, d, hg=args.hg,
+                                       bytes_per_el=dtype.dtype.itemsize)
+                mm_flops, hbm_bytes = cost.flops, cost.hbm_bytes
+            elif pallas_mix_supported(n):
+                kern = "staged"
+                cost = staged_mix_cost(b, n, d, hg=args.hg,
+                                       bytes_per_el=dtype.dtype.itemsize)
+                mm_flops, hbm_bytes = cost.mm_flops, cost.hbm_bytes
+                vpu_ms = cost.vpu_ops / (cc.vpu_gops * 1e9) * 1e3
+            else:
+                # 16k-64k: the dispatched path is the unfused matmul-FFT
+                # composition.  Bound = minimal HBM (v in, y out, compact
+                # gate) + the mixed-radix matmul-FFT flops — how far the
+                # unfused answer sits from ideal is the recorded verdict.
+                from fft_tpu.kernels.matfft import cfft_factors
+                kern = "unfused"
+                cost = spectral_mix_cost(
+                    b, n, d, radix_sum=sum(cfft_factors(n // 2) or [n]),
+                    bytes_per_el=dtype.dtype.itemsize)
+                mm_flops, hbm_bytes = cost.flops, cost.hbm_bytes
+            hbm_ms = hbm_bytes / (cc.hbm_gbps * 1e9) * 1e3
+            mxu_ms = mm_flops / (tflops * 1e12) * 1e3
+            bound_ms = max(hbm_ms, mxu_ms, vpu_ms)
+            governing = {hbm_ms: "hbm", mxu_ms: "mxu",
+                         vpu_ms: "vpu"}[bound_ms]
             print(json.dumps({
                 "seq": n, "batch": b, "d": d, "mode": mode,
-                "trials": args.trials,
+                "kernel": kern, "trials": args.trials,
                 "ms_mean": round(float(xs.mean()), 4),
                 "ms_std": round(float(xs.std()), 4),
                 "ms_min": round(float(xs.min()), 4),
                 "hbm_bound_ms": round(hbm_ms, 4),
                 "mxu_bound_ms": round(mxu_ms, 4),
+                "vpu_bound_ms": round(vpu_ms, 4),
                 "governing": governing,
                 "pct_of_bound_mean": round(100 * bound_ms / xs.mean(), 1),
                 "pct_of_bound_best": round(100 * bound_ms / xs.min(), 1),

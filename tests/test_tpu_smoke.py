@@ -190,3 +190,37 @@ def test_fused_causal_bf16_scratch_chip():
                   static_argnums=(3, 4))(v, kfr, kfi, chunk, cols)
     assert _rel(np.asarray(got, np.float32),
                 np.asarray(ref, np.float32)) < 3e-2
+
+
+@requires_tpu
+def test_exact_f32_2048_deep_scan_chain_chip():
+    """Regression for the scoped-VMEM overrun (9b884f7): exact-mode (f32,
+    HIGHEST-precision) direct mix at n_fft 2048 inside a DEEP scan chain
+    tripped the 116 MB limit by ~5 MB at dblk 512; the dispatch now caps
+    exact-mode dblk at 256 for n_fft >= 2048.  This pins the formerly
+    failing configuration: compile + run a 24-step chained scan and check
+    the chain end against the matmul-FFT composition."""
+    from fft_tpu.kernels.pallas_fft import _unfused_mix, fused_spectral_mix
+    b, n, d, hg = 4, 2048, 512, 32
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    g_r = jnp.asarray(
+        rng.standard_normal((b, n // 2 + 1, hg)) * 0.1, jnp.float32)
+    g_i = jnp.asarray(
+        rng.standard_normal((b, n // 2 + 1, hg)) * 0.1, jnp.float32)
+    g = jax.lax.complex(g_r, g_i)
+
+    def chain(mix_fn, v):
+        def body(h, _):
+            out = mix_fn(h)
+            # data-dependent chaining, same as the bench harness
+            return (h + 0.25 * out).astype(v.dtype), None
+        h, _ = jax.lax.scan(body, v, None, length=24)
+        return h
+
+    run = jax.jit(lambda v: chain(
+        lambda h: fused_spectral_mix(h, g, None, n_fft=n, fast=False,
+                                     interpret=False), v))
+    ref = jax.jit(lambda v: chain(
+        lambda h: _unfused_mix(h, g, None, n, fast=False), v))
+    assert _rel(run(v), ref(v)) < 1e-5
