@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fft_tpu.models.lm import (lm_decode_step, lm_prefill,
+from fft_tpu.models.lm import (_prefill_split_fns, lm_decode_step,
                                spectre_350m_config)
 
 
@@ -58,13 +58,16 @@ def main():
     prompt = jax.random.randint(jax.random.key(1), (args.batch, args.seq - 64),
                                 0, cfg.vocab_size, jnp.int32)
 
-    # ---- prefill: direct best-of-3 walls.  Prefill at 16k is ~1 s, so
-    # the ~30-40 ms relay RTT is a <5% error — not worth the chained-scan
-    # slope graphs, which take >25 min to compile through the relay at
-    # this model size.  CRITICAL on this relay: force ONLY the logits to
-    # host — the caches are GBs and block_until_ready doesn't block, so
-    # a pytree transfer would time the HTTP tunnel, not the chip. ----
-    p_fn = jax.jit(lambda t: lm_prefill(params, cfg, t))
+    # ---- prefill: direct best-of-3 walls on the SPLIT path (two modules:
+    # 24-layer forward, then cache build — one module broke the relay's
+    # remote_compile twice at this size; see lm_prefill_split).  Prefill
+    # at 16k is ~1 s, so the ~30-40 ms relay RTT is a <5% error — not
+    # worth the chained-scan slope graphs, which take >25 min to compile
+    # through the relay at this model size.  CRITICAL on this relay: force
+    # ONLY small leaves to host — the caches are GBs and
+    # block_until_ready doesn't block, so a pytree transfer would time
+    # the HTTP tunnel, not the chip. ----
+    p_fwd, p_caches = _prefill_split_fns(cfg)
 
     def timed(f, *a, get=lambda r: r):
         best = float("inf")
@@ -74,11 +77,17 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    np.asarray(p_fn(prompt)[0])                     # compile + warm
-    prefill_s = timed(p_fn, prompt, get=lambda r: r[0])
+    print("compiling prefill fwd...", flush=True)
+    _, hs = p_fwd(params, prompt)
+    np.asarray(_[0])                                # compile + warm
+    print("compiling cache build...", flush=True)
+    np.asarray(p_caches(params, hs).t)              # compile + warm
+    prefill_s = (timed(p_fwd, params, prompt, get=lambda r: r[0][0])
+                 + timed(p_caches, params, hs, get=lambda r: r.t))
 
     # ---- steady-state decode ----
-    logits, caches = p_fn(prompt)
+    logits, hs = p_fwd(params, prompt)
+    caches = p_caches(params, hs)
     np.asarray(logits)                              # fence before timing
     pos0 = prompt.shape[1]
 
@@ -96,6 +105,7 @@ def main():
     k_lo, k_hi = args.k // 6, args.k
     d_lo = jax.jit(lambda c, l: decode_chain(c, l, k_lo))
     d_hi = jax.jit(lambda c, l: decode_chain(c, l, k_hi))
+    print("compiling decode chains...", flush=True)
     np.asarray(d_lo(caches, logits))                # compile + warm
     np.asarray(d_hi(caches, logits))
     tok_s = (timed(d_hi, caches, logits) - timed(d_lo, caches, logits)) \

@@ -11,6 +11,7 @@ streaming decode path.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -233,6 +234,62 @@ def lm_prefill(params, cfg: LMConfig, tokens: jnp.ndarray):
     head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
     logits = (h @ head.astype(h.dtype)).astype(jnp.float32)
     return logits, caches
+
+
+def lm_prefill_split(params, cfg: LMConfig, tokens: jnp.ndarray):
+    """``lm_prefill`` in TWO separately-jitted modules (identical math).
+
+    On the relay-tunneled backend a single XLA module containing both the
+    full 24-layer forward AND every layer's cache-building rFFT exceeds
+    what the remote compile server will finish before dropping the HTTP
+    connection ("Broken pipe" after ~25-45 min, observed twice at 350M /
+    seq 16k).  Splitting at the natural seam — (1) forward pass collecting
+    each layer's input hidden states, (2) cache build over the stacked
+    states — halves the per-module compile load; the Python boundary costs
+    one extra dispatch round trip and one (layers, B, N, d) HBM-resident
+    stack.  Asserted equal to ``lm_prefill`` in tests/test_decode.py."""
+    fwd, build_caches = _prefill_split_fns(cfg)
+    logits, hs = fwd(params, tokens)
+    return logits, build_caches(params, hs)
+
+
+@functools.lru_cache(maxsize=8)
+def _prefill_split_fns(cfg: LMConfig):
+    """The two jitted halves of lm_prefill_split, cached per config (a
+    fresh jax.jit per call would retrace every invocation)."""
+    from fft_tpu.decode.cache import spectre_block_prefill
+
+    @jax.jit
+    def fwd(params, tokens):
+        b, length = tokens.shape
+        h = (params["tok_emb"][tokens] + params["pos_emb"][:length]).astype(
+            cfg.block.compute_dtype)
+
+        def body(h, block_params):
+            h_in = h
+            h = spectre_block_apply(block_params, cfg.block, h)
+            return h, h_in
+
+        h, hs = jax.lax.scan(body, h, params["blocks"])
+        h = layernorm_apply(params["ln_f"], h[:, -1])
+        head = params["tok_emb"].T if cfg.tie_embeddings else params["lm_head"]
+        return (h @ head.astype(h.dtype)).astype(jnp.float32), hs
+
+    @jax.jit
+    def build_caches(params, hs):
+        b = hs.shape[1]
+        one = cache_init(b, cfg.block.num_heads, cfg.block.n_fft,
+                         cfg.block.head_dim)
+
+        def body(carry, xs):
+            block_params, h_in = xs
+            return carry, spectre_block_prefill(
+                block_params, cfg.block, h_in.astype(jnp.float32), one)
+
+        _, caches = jax.lax.scan(body, None, (params["blocks"], hs))
+        return caches
+
+    return fwd, build_caches
 
 
 def lm_generate(params, cfg: LMConfig, prompt: jnp.ndarray, steps: int,

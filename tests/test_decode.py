@@ -177,3 +177,27 @@ def test_decode_descriptor_scale_invariance():
     # makes eps relatively larger), not bitwise:
     np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_con),
                                atol=5e-3)
+
+
+def test_lm_prefill_split_matches_lm_prefill():
+    """The relay-friendly two-module prefill (lm_prefill_split) computes
+    exactly lm_prefill's (logits, caches)."""
+    from fft_tpu.models.lm import (LMConfig, lm_init, lm_prefill,
+                                   lm_prefill_split)
+
+    cfg = LMConfig(
+        vocab_size=64, num_layers=3, max_seq=128,
+        block=SpectreConfig(embed_dim=32, num_heads=4, n_fft=128,
+                            pooling_type="mean", wavelet_on_rate=0.0,
+                            causal=True, causal_chunk=16,
+                            fft_impl="matmul"))
+    params = lm_init(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 100), 0, 64)
+    logits_a, caches_a = jax.jit(lambda t: lm_prefill(params, cfg, t))(tokens)
+    logits_b, caches_b = lm_prefill_split(params, cfg, tokens)
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               rtol=2e-5, atol=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
+        caches_a, caches_b)
