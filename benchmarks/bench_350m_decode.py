@@ -27,8 +27,66 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fft_tpu.models.lm import (_prefill_split_fns, lm_decode_step,
+from fft_tpu.models.lm import (_prefill_split_fns, lm_head_matrix,
                                spectre_350m_config)
+
+
+def decode_chain_flat(params, cfg, caches, logits0, pos0, k):
+    """k decode steps as ONE flat scan over k * num_layers LAYER-steps.
+
+    Math-identical to chaining ``lm_decode_step`` (asserted by
+    tests/test_decode.py::test_decode_chain_flat_matches_lm_decode_step),
+    but the scan body is a SINGLE layer with the layer's params/cache
+    gathered by dynamic indexing: the 24-layer nested-scan module exceeded
+    the relay's remote-compile window twice ('Broken pipe' after ~25 min),
+    while this body compiles in minutes.  Token boundaries (embed at layer
+    0, LM head at layer L-1) run under lax.cond so the head matmul costs
+    nothing on interior layer-steps.  Returns a 1-element logits slice.
+    """
+    import jax
+    from fft_tpu.layers.common import layernorm_apply
+    from fft_tpu.decode.cache import spectre_block_decode_step
+
+    L = cfg.num_layers
+    blocks = params["blocks"]
+    head = lm_head_matrix(params, cfg)
+    b = logits0.shape[0]
+    d = cfg.embed_dim
+    h0 = jnp.zeros((b, d), params["tok_emb"].dtype)
+
+    def body(carry, i):
+        caches, logits, h, pos = carry
+        layer = jnp.mod(i, L)
+
+        h = jax.lax.cond(
+            layer == 0,
+            lambda: (params["tok_emb"][jnp.argmax(logits, -1)
+                                       .astype(jnp.int32)]
+                     + params["pos_emb"][pos]).astype(h.dtype),
+            lambda: h)
+        bp = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0,
+                                                   keepdims=False), blocks)
+        cl = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, layer, 0,
+                                                   keepdims=False), caches)
+        h, cl = spectre_block_decode_step(bp, cfg.block, h, cl)
+        caches = jax.tree.map(
+            lambda c, u: jax.lax.dynamic_update_index_in_dim(c, u, layer,
+                                                             0),
+            caches, cl)
+        logits, pos = jax.lax.cond(
+            layer == L - 1,
+            lambda: ((layernorm_apply(params["ln_f"], h)
+                      @ head.astype(h.dtype)).astype(logits.dtype),
+                     pos + 1),
+            lambda: (logits, pos))
+        return (caches, logits, h, pos), None
+
+    (caches, logits, _, _), _ = jax.lax.scan(
+        body, (caches, logits0, h0, jnp.asarray(pos0, jnp.int32)),
+        jnp.arange(k * L))
+    return logits[0]    # one vocab row: small transfer, full parity check
 
 
 def main():
@@ -91,20 +149,11 @@ def main():
     np.asarray(logits)                              # fence before timing
     pos0 = prompt.shape[1]
 
-    def decode_chain(caches, logits, k):
-        def body(carry, i):
-            caches, logits = carry
-            tok = jnp.argmax(logits, -1).astype(jnp.int32)
-            logits, caches = lm_decode_step(params, cfg, tok, pos0 + i,
-                                            caches)
-            return (caches, logits), None
-        (caches, logits), _ = jax.lax.scan(body, (caches, logits),
-                                           jnp.arange(k))
-        return logits[:1, 0]    # 1-element array: 0-d can't index below
-
     k_lo, k_hi = args.k // 6, args.k
-    d_lo = jax.jit(lambda c, l: decode_chain(c, l, k_lo))
-    d_hi = jax.jit(lambda c, l: decode_chain(c, l, k_hi))
+    d_lo = jax.jit(lambda c, l: decode_chain_flat(params, cfg, c, l,
+                                                  pos0, k_lo))
+    d_hi = jax.jit(lambda c, l: decode_chain_flat(params, cfg, c, l,
+                                                  pos0, k_hi))
     print("compiling decode chains...", flush=True)
     np.asarray(d_lo(caches, logits))                # compile + warm
     np.asarray(d_hi(caches, logits))

@@ -201,3 +201,32 @@ def test_lm_prefill_split_matches_lm_prefill():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5),
         caches_a, caches_b)
+
+
+def test_decode_chain_flat_matches_lm_decode_step():
+    """The benchmark's flat (one-layer-body) decode chain is bit-level the
+    same computation as chaining lm_decode_step."""
+    from benchmarks.bench_350m_decode import decode_chain_flat
+    from fft_tpu.models.lm import (LMConfig, lm_decode_step, lm_init,
+                                   lm_prefill)
+
+    cfg = LMConfig(
+        vocab_size=64, num_layers=3, max_seq=128,
+        block=SpectreConfig(embed_dim=32, num_heads=4, n_fft=128,
+                            pooling_type="mean", wavelet_on_rate=0.0,
+                            causal=True, causal_chunk=16,
+                            fft_impl="matmul"))
+    params = lm_init(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 100), 0, 64)
+    logits, caches = jax.jit(lambda t: lm_prefill(params, cfg, t))(tokens)
+    pos0, k = tokens.shape[1], 5
+
+    got = jax.jit(lambda c, l: decode_chain_flat(params, cfg, c, l,
+                                                 pos0, k))(caches, logits)
+
+    lg, cc = logits, caches
+    for i in range(k):
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+        lg, cc = lm_decode_step(params, cfg, tok, pos0 + i, cc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(lg[0]),
+                               rtol=2e-5, atol=2e-5)
