@@ -149,16 +149,22 @@ def main():
     np.asarray(logits)                              # fence before timing
     pos0 = prompt.shape[1]
 
+    # params MUST be an argument, not a closure: jit embeds closed-over
+    # arrays as module constants, and a ~700 MB serialized module is what
+    # actually broke the relay's remote_compile POST ("Broken pipe") —
+    # the prefill jits, which take params explicitly, compiled fine.
     k_lo, k_hi = args.k // 6, args.k
-    d_lo = jax.jit(lambda c, l: decode_chain_flat(params, cfg, c, l,
-                                                  pos0, k_lo))
-    d_hi = jax.jit(lambda c, l: decode_chain_flat(params, cfg, c, l,
-                                                  pos0, k_hi))
+    d_lo = jax.jit(lambda p, c, l: decode_chain_flat(p, cfg, c, l,
+                                                     pos0, k_lo))
+    d_hi = jax.jit(lambda p, c, l: decode_chain_flat(p, cfg, c, l,
+                                                     pos0, k_hi))
     print("compiling decode chains...", flush=True)
-    np.asarray(d_lo(caches, logits))                # compile + warm
-    np.asarray(d_hi(caches, logits))
-    tok_s = (timed(d_hi, caches, logits) - timed(d_lo, caches, logits)) \
-        / (k_hi - k_lo)
+    np.asarray(d_lo(params, caches, logits))        # compile + warm
+    print("decode chain lo compiled", flush=True)
+    np.asarray(d_hi(params, caches, logits))
+    print("decode chain hi compiled", flush=True)
+    tok_s = (timed(d_hi, params, caches, logits)
+             - timed(d_lo, params, caches, logits)) / (k_hi - k_lo)
 
     hbm_gbps = args.hbm_gbps
     if not hbm_gbps:
