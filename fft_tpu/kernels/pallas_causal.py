@@ -93,6 +93,24 @@ def _inv_rows_np(chunk: int) -> Tuple[np.ndarray, np.ndarray]:
     return ar, ai
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_rows_np(chunk: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(F2, 2C) dense rFFT matrices: X = (mfr + i mfi) @ seg transforms a
+    real 2C-point segment along rows, natural bin order 0..C (row C is the
+    Nyquist bin, mfi[C] == 0).  Replaces the packed-complex staged DFT in
+    the v2 forward's segment stage: the staged form's pack reshape +
+    twiddle + untangle are ~10 VPU passes over (C, 2*dblk) per segment,
+    which bound the kernel the same way they bound the non-causal staged
+    mix (pallas_fft.py's direct-kernel note: VPU, not HBM, limits it to
+    ~27% of roofline at N=1024).  Dense rows cost more MXU FLOPs but zero
+    VPU work and no relayout."""
+    c2 = 2 * chunk
+    k = np.arange(chunk + 1)[:, None]
+    t = np.arange(c2)[None, :]
+    ang = -2.0 * np.pi * k * t / c2
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def _make_kernel(nc: int, fb_rows: int, nf: int, chunk: int, cols: int,
                  precision):
     def kernel(vfr_ref, vfi_ref, kfr_ref, kfi_ref, e_ref, ar_ref, ai_ref,
@@ -312,7 +330,7 @@ def _pad8(x: int) -> int:
 
 def _fused_vmem_ok(nc: int, chunk: int, dblk: int, itemsize: int = 4,
                    scr_bf16: bool = False, staged: bool = False,
-                   cols: int = 32) -> bool:
+                   cols: int = 32, dense_fwd: bool = False) -> bool:
     """Models the Mosaic VMEM layout exactly enough to predict compile OOM
     (verified against the compiler's own report on v5e): every operator
     window gets TWO buffering levels, lane dims pad to 128, the hardware
@@ -337,7 +355,12 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int, itemsize: int = 4,
         # above 2-level buffering (dense/128 at nc=4, chunk=2048 measured
         # 116.6 MiB on chip where the unscaled model said 93.6).
         amat = int(chunk * f2p * 4 * 2 * 2 * 1.36)
-    total = vin + out + kblk + psel + vscr + acc + amat
+    # dense segment-FFT rows: two resident (f2p, 2C) f32 matrices.  NO
+    # double-buffer/calibration factor: with it the model rejects
+    # (nc=4, chunk=1024, dblk=256), which compiles and runs on chip
+    # (1.97 ms, 2026-08-19) — constant windows are held once
+    fmat = f2p * 2 * chunk * 4 * 2 if dense_fwd else 0
+    total = vin + out + kblk + psel + vscr + acc + amat + fmat
     # 96 MB: the compiler's real allocation runs ~13% above this model
     # (measured 120.2 MB where the model said 106 at nc=4, chunk=2048),
     # and the scoped limit is 116 MB — keep that much slack.
@@ -346,28 +369,39 @@ def _fused_vmem_ok(nc: int, chunk: int, dblk: int, itemsize: int = 4,
 
 def _fused_plan(nc: int, chunk: int, d: int, itemsize: int = 2,
                 fast: bool = False, cols: int = 32):
-    """(dblk, staged, scr_bf16) for the v2 forward kernel, or None.
+    """(dblk, staged, scr_bf16, dense_fwd) for the v2 forward kernel, or
+    None.
 
-    Preference order, all measured on v5e at seq 8k / chunk 2048:
+    Preference order, all measured on v5e:
     1. exact f32 scratch before the fast-mode bf16-scratch variant;
-    2. DENSE partial-irFFT output stage before the staged inverse — the
-       dense (C, F2) matmuls carry ~15x more MXU FLOPs but the staged
-       form's extra VPU untangle passes and relayouts cost more in
-       practice (dense/128 3.08 ms vs staged/256 3.68 / staged/128 4.70);
-       staged's role is to FIT shapes whose dense A matrices blow the
-       VMEM budget (chunk 2048 at nc >= 8, the 16k/32k configs);
-    3. wider channel blocks first (fewer programs, one K expansion per
+    2. DENSE segment-FFT rows before the packed staged DFT — the staged
+       form's pack reshape + twiddle + untangle are ~10 VPU passes per
+       segment that dominate the kernel at chunk 256-1024 (measured
+       2026-08-19, mix-only ms: chunk 256 2.92 -> 0.86, chunk 512
+       2.53 -> 1.31 @dblk 512, chunk 1024 2.48 -> 1.97 @dblk 256; even
+       chunk 128 ties-or-wins 1.19 -> 1.10).  Dense loses only VMEM: the
+       (F2, 2C) row pair never fits at chunk 2048, where staged remains;
+    3. DENSE partial-irFFT output stage before the staged inverse (seq 8k
+       / chunk 2048: dense/128 3.08 ms vs staged/256 3.68 / staged/128
+       4.70); staged's role is to FIT shapes whose dense A matrices blow
+       the VMEM budget (chunk 2048 at nc >= 8, the 16k/32k configs);
+    4. wider channel blocks first (fewer programs, one K expansion per
        (b, delta) instead of per block, contiguous HBM reads of v).
     """
     scr_opts = (False,) if not fast else (False, True)
+    # dense_fwd capped at chunk 1024: the (F2, 2C) pair is 67 MB at chunk
+    # 2048 and the compiler OOM'd scoped VMEM there (2026-08-19) even when
+    # the byte model squeaked under; 2048 was never a dense win candidate
+    dense_opts = (True, False) if chunk <= 1024 else (False,)
     for scr in scr_opts:
-        for staged in (False, True):
-            for dblk in (512, 256, 128):
-                if d % dblk or dblk > d:
-                    continue
-                if _fused_vmem_ok(nc, chunk, dblk, itemsize, scr, staged,
-                                  cols):
-                    return dblk, staged, scr
+        for dense_fwd in dense_opts:
+            for staged in (False, True):
+                for dblk in (512, 256, 128):
+                    if d % dblk or dblk > d:
+                        continue
+                    if _fused_vmem_ok(nc, chunk, dblk, itemsize, scr,
+                                      staged, cols, dense_fwd):
+                        return dblk, staged, scr, dense_fwd
     return None
 
 
@@ -387,7 +421,7 @@ def fused_mix_supported(nc: int, chunk: int, d: int,
 
 def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
                        dblk: int, scr_bf16: bool = False,
-                       staged: bool = False):
+                       staged: bool = False, dense_fwd: bool = False):
     import fft_tpu.kernels.pallas_fft as pf
     cst = pf._consts(2 * chunk)
     n2, f1, f2d = cst["n2"], cst["f1"], cst["f2"]
@@ -400,15 +434,19 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
     def kernel(v_ref, kr_ref, ki_ref, p_ref, e_ref, *rest):
         if staged:
             (i1r_ref, i1i_ref, itwr_ref, itwi_ref, i2r_ref, i2i_ref,
-             airp_ref, aiip_ref, cirp_ref, ciip_ref, dc_ref,
-             w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
-             afr_ref, afi_ref, bfr_ref, bfi_ref,
-             o_ref, vr_scr, vi_scr, accr, acci) = rest
+             airp_ref, aiip_ref, cirp_ref, ciip_ref, dc_ref) = rest[:11]
+            rest = rest[11:]
         else:
-            (ar_ref, ai_ref,
-             w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
-             afr_ref, afi_ref, bfr_ref, bfi_ref,
-             o_ref, vr_scr, vi_scr, accr, acci) = rest
+            ar_ref, ai_ref = rest[:2]
+            rest = rest[2:]
+        if dense_fwd:
+            mfr_ref, mfi_ref = rest[:2]
+            rest = rest[2:]
+        else:
+            (w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref) = rest[:10]
+            rest = rest[10:]
+        o_ref, vr_scr, vi_scr, accr, acci = rest
         delta = pl.program_id(2)
 
         def mm(a, b):
@@ -423,33 +461,47 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
             vi_scr[:] = zero
             accr[:] = zero
             acci[:] = zero
-            w1r, w1i = w1r_ref[:], w1i_ref[:]
-            twr, twi = twr_ref[:], twi_ref[:]
-            w2r, w2i = w2r_ref[:], w2i_ref[:]
-            afr, afi = afr_ref[:], afi_ref[:]
-            bfr, bfi = bfr_ref[:], bfi_ref[:]
+            if dense_fwd:
+                # dense (f2p, 2C) rFFT rows: two MXU matmuls per segment,
+                # no pack reshape / twiddle / untangle VPU passes; pad rows
+                # of the matrices are zero so the scratch pad rows stay 0
+                mfr, mfi = mfr_ref[:], mfi_ref[:]
 
-            def seg_body(s, carry):
-                seg = v_ref[0, pl.ds(s * chunk, 2 * chunk)].astype(
-                    jnp.float32)                     # (2C, 128)
-                zs = seg.reshape(n2, 2 * dblk)       # [z_re | z_im] lanes
-                fsr, fsi = pf.staged_dft(zs, None, w1r, w1i, twr, twi,
-                                         w2r, w2i, f1, f2d, precision)
-                frr, fir = fsr[:, :dblk], fsr[:, dblk:]
-                fri, fii = fsi[:, :dblk], fsi[:, dblk:]
-                pr = frr - fii
-                pi = fri + fir
-                zcr = frr + fii
-                zci = fri - fir
-                xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
-                xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
-                x_nyq = jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
-                                keepdims=True)
-                base = s * f2p
-                vr_scr[pl.ds(base, n2)] = xr.astype(sdt)
-                vi_scr[pl.ds(base, n2)] = xi.astype(sdt)
-                vr_scr[pl.ds(base + n2, 1)] = x_nyq.astype(sdt)
-                return carry
+                def seg_body(s, carry):
+                    seg = v_ref[0, pl.ds(s * chunk, 2 * chunk)].astype(
+                        jnp.float32)                 # (2C, 128)
+                    base = s * f2p
+                    vr_scr[pl.ds(base, f2p)] = mm(mfr, seg).astype(sdt)
+                    vi_scr[pl.ds(base, f2p)] = mm(mfi, seg).astype(sdt)
+                    return carry
+            else:
+                w1r, w1i = w1r_ref[:], w1i_ref[:]
+                twr, twi = twr_ref[:], twi_ref[:]
+                w2r, w2i = w2r_ref[:], w2i_ref[:]
+                afr, afi = afr_ref[:], afi_ref[:]
+                bfr, bfi = bfr_ref[:], bfi_ref[:]
+
+                def seg_body(s, carry):
+                    seg = v_ref[0, pl.ds(s * chunk, 2 * chunk)].astype(
+                        jnp.float32)                 # (2C, 128)
+                    zs = seg.reshape(n2, 2 * dblk)   # [z_re | z_im] lanes
+                    fsr, fsi = pf.staged_dft(zs, None, w1r, w1i, twr, twi,
+                                             w2r, w2i, f1, f2d, precision)
+                    frr, fir = fsr[:, :dblk], fsr[:, dblk:]
+                    fri, fii = fsi[:, :dblk], fsi[:, dblk:]
+                    pr = frr - fii
+                    pi = fri + fir
+                    zcr = frr + fii
+                    zci = fri - fir
+                    xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+                    xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+                    x_nyq = jnp.sum(zs[:, :dblk] - zs[:, dblk:], axis=0,
+                                    keepdims=True)
+                    base = s * f2p
+                    vr_scr[pl.ds(base, n2)] = xr.astype(sdt)
+                    vi_scr[pl.ds(base, n2)] = xi.astype(sdt)
+                    vr_scr[pl.ds(base + n2, 1)] = x_nyq.astype(sdt)
+                    return carry
 
             jax.lax.fori_loop(0, nc, seg_body, 0)
 
@@ -535,10 +587,11 @@ def _make_fused_kernel(nc: int, chunk: int, cols: int, precision,
 
 @functools.partial(jax.jit,
                    static_argnames=("chunk", "cols", "fast", "interpret",
-                                    "scr_bf16", "staged", "dblk"))
+                                    "scr_bf16", "staged", "dblk",
+                                    "dense_fwd"))
 def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
                        interpret=False, scr_bf16=None, staged=None,
-                       dblk=None):
+                       dblk=None, dense_fwd=None):
     import fft_tpu.kernels.pallas_fft as pf
     b, n, d = v.shape
     nc = n // chunk
@@ -556,16 +609,18 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
                                          cols=cols, fast=fast,
                                          interpret=interpret)
     assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
-    p_dblk, p_staged, p_scr = plan if plan else (_DBLK, False, False)
+    p_dblk, p_staged, p_scr = plan[:3] if plan else (_DBLK, False, False)
     # explicit kwargs (tests/benchmarks) override the planned variant
     dblk = p_dblk if dblk is None else dblk
     staged = p_staged if staged is None else staged
     scr_bf16 = p_scr if scr_bf16 is None else scr_bf16
+    dense_fwd = bool(plan and len(plan) > 3 and plan[3]) \
+        if dense_fwd is None else dense_fwd
     if scr_bf16:
         kfr = kfr.astype(jnp.bfloat16)
         kfi = kfi.astype(jnp.bfloat16)
     kernel, f2p = _make_fused_kernel(nc, chunk, cols, precision, dblk,
-                                     scr_bf16, staged)
+                                     scr_bf16, staged, dense_fwd)
     sdt = jnp.bfloat16 if scr_bf16 else jnp.float32
     cst = pf._consts(2 * chunk)
     n2 = cst["n2"]
@@ -630,9 +685,18 @@ def _fused_causal_call(v, kfr, kfi, *, chunk, cols, fast=False,
     else:
         add_const(ar_p)
         add_const(ai_p)
-    for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
-                 "afr", "afi", "bfr", "bfi"):
-        add_const(cst[name])
+    if dense_fwd:
+        mfr_n, mfi_n = _fwd_rows_np(chunk)            # (n2+1, 2C) natural
+        mfr_p = np.zeros((f2p, 2 * chunk), np.float32)
+        mfi_p = np.zeros((f2p, 2 * chunk), np.float32)
+        mfr_p[:n2 + 1] = mfr_n
+        mfi_p[:n2 + 1] = mfi_n
+        add_const(mfr_p)
+        add_const(mfi_p)
+    else:
+        for name in ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                     "afr", "afi", "bfr", "bfi"):
+            add_const(cst[name])
 
     grid = (b, d // dblk, nc)
     kwargs = {}
@@ -876,7 +940,7 @@ def _fused_causal_call_v3(v, kfr, kfi, *, chunk, cols, fast=False,
                  else jax.lax.Precision.HIGHEST)
     plan = _fused_plan_v3(nc, chunk, d, v.dtype.itemsize, fast, cols)
     assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
-    p_dblk, p_staged, p_scr = plan if plan else (_DBLK, False, False)
+    p_dblk, p_staged, p_scr = plan[:3] if plan else (_DBLK, False, False)
     dblk = p_dblk if dblk is None else dblk
     staged = p_staged if staged is None else staged
     scr_bf16 = p_scr if scr_bf16 is None else scr_bf16
@@ -1263,7 +1327,8 @@ def kf_spectra_supported(n_fft: int, chunk: int) -> bool:
     return n_fft <= 8192
 
 
-def _make_kf_kernel(n_fft: int, chunk: int, nc: int, precision):
+def _make_kf_kernel(n_fft: int, chunk: int, nc: int, precision,
+                    dense_fwd: bool = False):
     import fft_tpu.kernels.pallas_fft as pf
     ic = pf._consts(n_fft)                 # inverse (length n_fft)
     fc = pf._consts(2 * chunk)             # forward (length 2C)
@@ -1274,12 +1339,18 @@ def _make_kf_kernel(n_fft: int, chunk: int, nc: int, precision):
     lanes = _DBLK
     f2 = chunk + 1
 
-    def kernel(gr_ref, gi_ref, gn_ref,
-               i1r_ref, i1i_ref, itwr_ref, itwi_ref, i2r_ref, i2i_ref,
-               air_ref, aii_ref, cir_ref, cii_ref, dc_ref,
-               w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
-               afr_ref, afi_ref, bfr_ref, bfi_ref,
-               okr_ref, oki_ref, kt_scr):
+    def kernel(gr_ref, gi_ref, gn_ref, *rest):
+        (i1r_ref, i1i_ref, itwr_ref, itwi_ref, i2r_ref, i2i_ref,
+         air_ref, aii_ref, cir_ref, cii_ref, dc_ref) = rest[:11]
+        rest = rest[11:]
+        if dense_fwd:
+            mfr_ref, mfi_ref = rest[:2]
+            rest = rest[2:]
+        else:
+            (w1r_ref, w1i_ref, twr_ref, twi_ref, w2r_ref, w2i_ref,
+             afr_ref, afi_ref, bfr_ref, bfi_ref) = rest[:10]
+            rest = rest[10:]
+        okr_ref, oki_ref, kt_scr = rest
         # ---- inverse: k_time = irfft_N(gate) into scratch ----------------
         mr = gr_ref[0]                                  # (n2i, 128) stage order
         mi = gi_ref[0] * (1.0 - dc_ref[:])              # drop Im at DC
@@ -1300,33 +1371,52 @@ def _make_kf_kernel(n_fft: int, chunk: int, nc: int, precision):
         kt_scr[:] = jnp.stack([z_r, z_i], axis=1).reshape(n_fft, lanes)
 
         # ---- forward: K[j] = rfft_2C([k_seg_j ; 0]) ----------------------
-        w1r, w1i = w1r_ref[:], w1i_ref[:]
-        twr, twi = twr_ref[:], twi_ref[:]
-        w2r, w2i = w2r_ref[:], w2i_ref[:]
-        afr, afi = afr_ref[:], afi_ref[:]
-        bfr, bfi = bfr_ref[:], bfi_ref[:]
+        if dense_fwd:
+            # zero-padded segment => only the first C input columns of the
+            # dense rFFT rows are nonzero: two (F2, C) @ (C, 128) MXU
+            # matmuls per segment, no pack/twiddle/untangle VPU passes
+            # (same cure as the v2 mix kernel's dense_fwd, 2026-08-19)
+            mfr, mfi = mfr_ref[:], mfi_ref[:]
 
-        def seg_body(j, carry):
-            seg = kt_scr[pl.ds(j * chunk, chunk)]       # (C, 128)
-            zs = jnp.concatenate(
-                [seg, jnp.zeros((chunk, lanes), jnp.float32)],
-                axis=0).reshape(n2f, 2 * lanes)         # [z_re | z_im] lanes
-            fsr, fsi = pf.staged_dft(zs, None, w1r, w1i, twr, twi,
-                                     w2r, w2i, f1f, f2f, precision)
-            frr, fir = fsr[:, :lanes], fsr[:, lanes:]
-            fri, fii = fsi[:, :lanes], fsi[:, lanes:]
-            pr = frr - fii
-            pi = fri + fir
-            zcr = frr + fii
-            zci = fri - fir
-            xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
-            xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
-            x_nyq = jnp.sum(zs[:, :lanes] - zs[:, lanes:], axis=0,
-                            keepdims=True)
-            okr_ref[0, j] = jnp.concatenate([xr, x_nyq], axis=0)
-            oki_ref[0, j] = jnp.concatenate(
-                [xi, jnp.zeros((1, lanes), jnp.float32)], axis=0)
-            return carry
+            def seg_body(j, carry):
+                seg = kt_scr[pl.ds(j * chunk, chunk)]   # (C, 128)
+                okr_ref[0, j] = jax.lax.dot_general(
+                    mfr, seg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                oki_ref[0, j] = jax.lax.dot_general(
+                    mfi, seg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+                return carry
+        else:
+            w1r, w1i = w1r_ref[:], w1i_ref[:]
+            twr, twi = twr_ref[:], twi_ref[:]
+            w2r, w2i = w2r_ref[:], w2i_ref[:]
+            afr, afi = afr_ref[:], afi_ref[:]
+            bfr, bfi = bfr_ref[:], bfi_ref[:]
+
+            def seg_body(j, carry):
+                seg = kt_scr[pl.ds(j * chunk, chunk)]   # (C, 128)
+                zs = jnp.concatenate(
+                    [seg, jnp.zeros((chunk, lanes), jnp.float32)],
+                    axis=0).reshape(n2f, 2 * lanes)     # [z_re | z_im] lanes
+                fsr, fsi = pf.staged_dft(zs, None, w1r, w1i, twr, twi,
+                                         w2r, w2i, f1f, f2f, precision)
+                frr, fir = fsr[:, :lanes], fsr[:, lanes:]
+                fri, fii = fsi[:, :lanes], fsi[:, lanes:]
+                pr = frr - fii
+                pi = fri + fir
+                zcr = frr + fii
+                zci = fri - fir
+                xr = afr * pr - afi * pi + bfr * zcr - bfi * zci
+                xi = afr * pi + afi * pr + bfr * zci + bfi * zcr
+                x_nyq = jnp.sum(zs[:, :lanes] - zs[:, lanes:], axis=0,
+                                keepdims=True)
+                okr_ref[0, j] = jnp.concatenate([xr, x_nyq], axis=0)
+                oki_ref[0, j] = jnp.concatenate(
+                    [xi, jnp.zeros((1, lanes), jnp.float32)], axis=0)
+                return carry
 
         jax.lax.fori_loop(0, nc, seg_body, 0, unroll=False)
 
@@ -1346,7 +1436,10 @@ def _kf_spectra_call(g_r, g_i, *, n_fft, chunk, fast=False,
     nc = n_fft // chunk
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
-    kernel = _make_kf_kernel(n_fft, chunk, nc, precision)
+    # dense per-segment forward wherever its (F2, C) row pair stays small
+    # (8.4 MB at chunk 1024); the staged form remains for bigger chunks
+    dense_fwd = chunk <= 1024
+    kernel = _make_kf_kernel(n_fft, chunk, nc, precision, dense_fwd)
     ic = pf._consts(n_fft)
     fc = pf._consts(2 * chunk)
     n2i = ic["n2"]
@@ -1359,15 +1452,25 @@ def _kf_spectra_call(g_r, g_i, *, n_fft, chunk, fast=False,
 
     const_specs = []
     const_args = []
+    fwd_names = (("w1r", "w1i", "twr", "twi", "w2r", "w2i",
+                  "afr", "afi", "bfr", "bfi") if not dense_fwd else ())
     for cst, names in ((ic, ("i1r", "i1i", "itwr", "itwi", "i2r", "i2i",
                              "air", "aii", "cir", "cii", "dc")),
-                       (fc, ("w1r", "w1i", "twr", "twi", "w2r", "w2i",
-                             "afr", "afi", "bfr", "bfi"))):
+                       (fc, fwd_names)):
         for name in names:
             arr = np.asarray(cst[name], np.float32)
             const_specs.append(pl.BlockSpec(
                 arr.shape, lambda i, j, nd=arr.ndim: (0,) * nd,
                 memory_space=pltpu.VMEM))
+            const_args.append(jnp.asarray(arr))
+    if dense_fwd:
+        mfr_n, mfi_n = _fwd_rows_np(chunk)            # (F2, 2C) natural
+        mfi_c = mfi_n[:, :chunk].copy()
+        mfi_c[-1] = 0.0          # Nyquist sin row is 0 exactly, not ~1e-13
+        for arr in (mfr_n[:, :chunk], mfi_c):
+            arr = np.ascontiguousarray(arr, np.float32)
+            const_specs.append(pl.BlockSpec(
+                arr.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM))
             const_args.append(jnp.asarray(arr))
 
     grid = (b, L // _DBLK)
@@ -1828,7 +1931,7 @@ def _fused_causal_bwd_call(v, kfr, kfi, ybar, *, chunk, cols, fast=False,
                  else jax.lax.Precision.HIGHEST)
     plan = _bwd_plan(nc, chunk, d, cols, v.dtype.itemsize, fast)
     assert plan is not None or (dblk and staged is not None), (nc, chunk, d)
-    p_dblk, p_staged, p_scr = plan if plan else (_DBLK, False, False)
+    p_dblk, p_staged, p_scr = plan[:3] if plan else (_DBLK, False, False)
     dblk = p_dblk if dblk is None else dblk
     staged = p_staged if staged is None else staged
     scr_bf16 = p_scr if scr_bf16 is None else scr_bf16

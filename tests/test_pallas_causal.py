@@ -204,6 +204,29 @@ def test_fused_causal_v2_staged_out_matches_ref():
     assert rel_err(np.asarray(got), np.asarray(ref)) < 1e-5
 
 
+def test_fused_causal_dense_fwd_matches_ref():
+    """Dense segment-FFT forward variant (two MXU matmuls per segment
+    instead of the packed staged DFT + untangle VPU passes) against the
+    jnp reference, under both output stages."""
+    rng = np.random.default_rng(21)
+    for staged, chunk, nc in ((False, 512, 3), (True, 512, 3),
+                              (False, 128, 4)):
+        b, d, cols = 1, 128, 4
+        v = jnp.asarray(rng.standard_normal((b, nc * chunk, d)),
+                        jnp.float32)
+        kfr = jnp.asarray(
+            rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+        kfi = jnp.asarray(
+            rng.standard_normal((b, nc, chunk + 1, nc * cols)), jnp.float32)
+        got = pc._fused_causal_call(v, kfr, kfi, chunk=chunk, cols=cols,
+                                    fast=False, interpret=True,
+                                    staged=staged, dblk=128,
+                                    dense_fwd=True)
+        ref = pc._fused_causal_ref(v, kfr, kfi, chunk, cols)
+        assert rel_err(np.asarray(got), np.asarray(ref)) < 1e-5, (staged,
+                                                                  chunk)
+
+
 def test_fused_causal_bwd_staged_matches_jnp_adjoint():
     """Staged adjoint-irFFT output stage of the fused bwd kernel (chunk >=
     512) vs the hand-derived jnp adjoint."""
