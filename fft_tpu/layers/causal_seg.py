@@ -32,25 +32,30 @@ from fft_tpu.ops import fftops
 
 
 def preferred_causal_chunk(seq: int, d: int) -> int:
-    """Fastest measured chunk size for the causal block on v5e: the
-    largest of seq/4 (only when >= 512), seq/8, seq/16 that the fused
-    whole-mix kernel covers; else seq/16 for the v1 banded path, whose
-    cost grows with nc^2 at small chunks.
+    """Fastest measured chunk size for the causal block on v5e.
 
-    Measured block fwd ms (bf16, 32k tokens): 1k: C128 4.68 < C256 5.56;
-    2k: C512 5.67 < C256 7.02 < C128 9.55; 4k: C1024 5.92 < C512 6.58;
-    8k: C1024 7.47 < C512 12.3; 32k v1: C2048 32.0 < C1024 59.5.
+    The dense segment-FFT forward (two (F2, 2C) rFFT-row matmuls per
+    segment, chunk <= 1024) shifted the optimum SMALLER at short-mid
+    sequences: the per-segment FFT cost stopped dominating, so the
+    nc^2-banded sweep tolerates more chunks and the smaller resident
+    window wins.  Measured block fwd ms (bf16, 32k tokens, dense fwd):
+    1k: C256 < C128; 2k-8k: C512 < C1024 (8k: C512 7.1 < C1024 7.5 —
+    pre-dense-fwd C512 measured 12.3).  At 16k+ the v2/v3 kernels with
+    chunk 2048 stay fastest (32k v1: C2048 32.0 < C1024 59.5); 64k+
+    needs seq/32 so the v3 grid-banded kernel (chunk <= 2048) covers it.
 
     This is a THROUGHPUT default: larger chunks also lengthen the causal
     gate-descriptor lag (<= chunk tokens) — quality-sensitive configs can
     set ``causal_chunk`` explicitly."""
     from fft_tpu.kernels.pallas_causal import fused_mix_supported
-    cands = [seq // 4] if seq // 4 >= 512 else []
-    cands += [seq // 8, seq // 16]
-    if seq // 32 >= 2048:
-        # seq 64k+: only the v3 grid-banded kernel covers it (chunk <=
-        # 2048); measured 27 ms vs 101 ms for the v1 chunk-4096 path
-        cands.append(seq // 32)
+    if seq <= 8192:
+        # dense-forward regime: 256 at seq 1k, 512 at 2k-8k
+        cands = [min(512, seq // 4), seq // 8, seq // 16]
+    else:
+        cands = [seq // 4] if seq // 4 >= 512 else []
+        cands += [seq // 8, seq // 16]
+        if seq // 32 >= 2048:
+            cands.append(seq // 32)
     for c in cands:
         if c >= 128 and seq % c == 0 and fused_mix_supported(seq // c, c, d):
             return c

@@ -208,19 +208,22 @@ def test_exact_f32_2048_deep_scan_chain_chip():
         rng.standard_normal((b, n // 2 + 1, hg)) * 0.1, jnp.float32)
     g_i = jnp.asarray(
         rng.standard_normal((b, n // 2 + 1, hg)) * 0.1, jnp.float32)
-    g = jax.lax.complex(g_r, g_i)
+    # complex64 must be built INSIDE jit on this backend — an eager
+    # lax.complex produces a device complex array the relay cannot hold
 
-    def chain(mix_fn, v):
+    def chain(mix_fn, v, g_r, g_i):
+        g = jax.lax.complex(g_r, g_i)
+
         def body(h, _):
-            out = mix_fn(h)
+            out = mix_fn(h, g)
             # data-dependent chaining, same as the bench harness
             return (h + 0.25 * out).astype(v.dtype), None
         h, _ = jax.lax.scan(body, v, None, length=24)
         return h
 
-    run = jax.jit(lambda v: chain(
-        lambda h: fused_spectral_mix(h, g, None, n_fft=n, fast=False,
-                                     interpret=False), v))
-    ref = jax.jit(lambda v: chain(
-        lambda h: _unfused_mix(h, g, None, n, fast=False), v))
-    assert _rel(run(v), ref(v)) < 1e-5
+    run = jax.jit(lambda v, gr, gi: chain(
+        lambda h, g: fused_spectral_mix(h, g, None, n_fft=n, fast=False,
+                                        interpret=False), v, gr, gi))
+    ref = jax.jit(lambda v, gr, gi: chain(
+        lambda h, g: _unfused_mix(h, g, None, n, fast=False), v, gr, gi))
+    assert _rel(run(v, g_r, g_i), ref(v, g_r, g_i)) < 1e-5
