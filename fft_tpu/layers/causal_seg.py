@@ -31,7 +31,8 @@ from fft_tpu.config import SpectreHeadConfig
 from fft_tpu.ops import fftops
 
 
-def preferred_causal_chunk(seq: int, d: int) -> int:
+def preferred_causal_chunk(seq: int, d: int, fast: bool = True,
+                           g_groups: int = 32) -> int:
     """Fastest measured chunk size for the causal block on v5e.
 
     The dense segment-FFT forward (two (F2, 2C) rFFT-row matmuls per
@@ -46,7 +47,14 @@ def preferred_causal_chunk(seq: int, d: int) -> int:
 
     This is a THROUGHPUT default: larger chunks also lengthen the causal
     gate-descriptor lag (<= chunk tokens) — quality-sensitive configs can
-    set ``causal_chunk`` explicitly."""
+    set ``causal_chunk`` explicitly.
+
+    ``fast``/``g_groups`` mirror the gating ``segmented_causal_mix``
+    applies at run time (fast = compute_dtype == 'bfloat16'; g_groups =
+    the head's gate-group count).  The defaults match the measured-tuning
+    config (bf16, 32 groups); pass the real values for f32 or unusual
+    group counts so the chosen chunk is one the fused kernel will
+    actually accept."""
     from fft_tpu.kernels.pallas_causal import fused_mix_supported
     if seq <= 8192:
         # dense-forward regime: 256 at seq 1k, 512 at 2k-8k
@@ -56,8 +64,9 @@ def preferred_causal_chunk(seq: int, d: int) -> int:
         cands += [seq // 8, seq // 16]
         if seq // 32 >= 2048:
             cands.append(seq // 32)
-    for c in cands:
-        if c >= 128 and seq % c == 0 and fused_mix_supported(seq // c, c, d):
+    for c in dict.fromkeys(cands):
+        if (c >= 128 and seq % c == 0
+                and fused_mix_supported(seq // c, c, d, fast, g_groups)):
             return c
     return max(128, seq // 16)
 

@@ -67,9 +67,12 @@ def spectre_350m_config(vocab_size: int = 50432, seq: int = 16384) -> LMConfig:
         num_layers=24,
         max_seq=seq,
         remat=True,
-        # preferred_causal_chunk: seq/8 where the fused causal kernel
-        # covers it, else seq/16 (keeps the segmented working set — which
-        # scales with nc^2 * chunk = nc * seq — inside one chip's HBM)
+        # preferred_causal_chunk picks the fastest measured fused-kernel
+        # chunk per regime (see its docstring): dense-forward regime
+        # (seq <= 8k) prefers min(512, seq/4); large-seq regime tries
+        # seq/4 down to seq/32.  The floor of 512 keeps the segmented
+        # working set — which scales with nc^2 * chunk = nc * seq —
+        # inside one chip's HBM at seq 64k.
         block=SpectreConfig(
             embed_dim=1024, num_heads=16, n_fft=seq, pooling_type="mean",
             wavelet_on_rate=0.0, causal=True,
