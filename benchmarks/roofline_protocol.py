@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fft_tpu.kernels.pallas_fft import (_direct_supported, spectral_mix,
+from fft_tpu.kernels.pallas_fft import (_direct_supported, _unfused_mix,
                                         fused_spectral_mix,
                                         pallas_mix_supported)
 from fft_tpu.utils.prof import (direct_mix_cost, measure_chip_constants,
@@ -115,10 +115,13 @@ def main():
                     return fused_spectral_mix(h, jax.lax.complex(gr, gi),
                                               None, n_fft=n, fast=fast)
             else:
+                # what the layer actually dispatches past the fused
+                # kernels' reach (layers/spectre.py:434-441 gates on
+                # pallas_mix_supported and falls through to the
+                # matmul-FFT composition)
                 def mix(h, gr, gi, n=n, fast=fast):
-                    # custom_vjp: positional args only
-                    return spectral_mix(h, jax.lax.complex(gr, gi), None,
-                                        n, fast)
+                    return _unfused_mix(h, jax.lax.complex(gr, gi), None,
+                                        n, fast=fast)
             sample = slope_sampler(mix, (v, g_r, g_i))
             xs = np.asarray([sample() for _ in range(args.trials)])
 
