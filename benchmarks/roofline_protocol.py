@@ -140,7 +140,8 @@ def main():
                 cost = staged_mix_cost(b, n, d, hg=args.hg,
                                        bytes_per_el=dtype.dtype.itemsize)
                 mm_flops, hbm_bytes = cost.mm_flops, cost.hbm_bytes
-                vpu_ms = cost.vpu_ops / (cc.vpu_gops * 1e9) * 1e3
+                if np.isfinite(cc.vpu_gops):
+                    vpu_ms = cost.vpu_ops / (cc.vpu_gops * 1e9) * 1e3
             else:
                 # 16k-64k: the dispatched path is the unfused matmul-FFT
                 # composition.  Bound = minimal HBM (v in, y out, compact

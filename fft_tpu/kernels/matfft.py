@@ -71,6 +71,16 @@ def cfft_factors(n: int) -> Optional[Tuple[int, ...]]:
     if n & (n - 1) == 0:  # power of two: balanced 2^ceil(k/m) factors
         k = n.bit_length() - 1
         m = math.ceil(k / 7)
+        # The composition is HBM-pass-bound at these lengths, so when a
+        # larger radix saves a whole recursion LEVEL (one full-size
+        # transpose + twiddle pass per transform), take it even though it
+        # raises radix_sum (FLOPs): radix 256 is still one dense MXU
+        # contraction.  Chip A/B at n=32768 (benchmarks/ablate_fft_plan.py,
+        # 64k unfused mix): (256,128) = 12.19 ms vs balanced (32,32,32) =
+        # 14.24 and lopsided (128,128,2) = 15.19.
+        m8 = math.ceil(k / 8)
+        if m8 < m:
+            m = m8
         base, rem = divmod(k, m)
         return tuple(2 ** (base + (1 if i < rem else 0)) for i in range(m))
     primes = _prime_factors(n)
@@ -232,3 +242,145 @@ def irfft_matmul(xh: jnp.ndarray, n: int, axis: int = -2,
     elif orig_axis != out.ndim - 2:
         out = jnp.moveaxis(out, -2, orig_axis)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Split-real bf16-resident composition for the LONG fast-mode mix.
+#
+# Past the fused kernels' reach (n_fft >= 16384) the spectral mix runs as
+# rfft_matmul -> gate -> irfft_matmul, and the round-5 roofline rows show
+# that path is HBM-PASS-bound, not MXU-bound (10-11% of the matmul bound
+# at 16k/32k): every _cfft level materializes full-size complex64 (f32
+# re/im) intermediates through HBM.  In fast mode the MXU passes already
+# run bf16, so f32 *storage* between levels buys nothing — this variant
+# keeps every full-size intermediate as separate re/im planes in bf16
+# (halving the bytes of each pass) and accumulates each contraction in
+# f32 on the MXU.  Re/im ride one lane-concatenated array per operand, so
+# each level is TWO wide matmuls instead of a complex einsum's four.
+#
+# Accuracy: bf16 storage adds ~1e-2 relative error on a 64k transform
+# chain — inside the fast-mode (bfloat16 activations) budget; exact mode
+# keeps the f32 complex path.
+# ---------------------------------------------------------------------------
+
+
+def _cfft_sr(xr: jnp.ndarray, xi: jnp.ndarray, factors: Tuple[int, ...],
+             sign: int, store=jnp.bfloat16):
+    """Complex DFT along axis -2 on split re/im planes ``(..., n, d)``;
+    intermediates stored in ``store``, contractions accumulated in f32."""
+    w = _dft_matrix_np(factors[0], sign)
+    wr = jnp.asarray(w.real.astype(np.float32)).astype(store)
+    wi = jnp.asarray(w.imag.astype(np.float32)).astype(store)
+    d = xr.shape[-1]
+
+    def mm(m, z, axis):
+        return jax.lax.dot_general(
+            m, z, (((1,), (axis % z.ndim,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if len(factors) == 1:
+        z = jnp.concatenate([xr, xi], axis=-1).astype(store)
+        ar = jnp.moveaxis(mm(wr, z, -2), 0, -2)       # [wr xr | wr xi]
+        ai = jnp.moveaxis(mm(wi, z, -2), 0, -2)       # [wi xr | wi xi]
+        yr = ar[..., :d] - ai[..., d:]
+        yi = ar[..., d:] + ai[..., :d]
+        return yr.astype(store), yi.astype(store)
+
+    p, rest = factors[0], factors[1:]
+    q = math.prod(rest)
+    lead = xr.shape[:-2]
+    zr = xr.reshape(*lead, p, q, d)
+    zi = xi.reshape(*lead, p, q, d)
+    z = jnp.concatenate([zr, zi], axis=-1).astype(store)   # (..., p, q, 2d)
+    ar = jnp.moveaxis(mm(wr, z, -3), 0, -3)           # (..., c, q, 2d)
+    ai = jnp.moveaxis(mm(wi, z, -3), 0, -3)
+    yr = ar[..., :d] - ai[..., d:]
+    yi = ar[..., d:] + ai[..., :d]
+    tw = _twiddle_np(p, q, sign)
+    twr = jnp.asarray(tw.real.astype(np.float32))[:, :, None]
+    twi = jnp.asarray(tw.imag.astype(np.float32))[:, :, None]
+    tr = yr * twr - yi * twi
+    ti = yr * twi + yi * twr
+    wr_, wi_ = _cfft_sr(tr.astype(store), ti.astype(store), rest, sign,
+                        store)
+    # output index k = c + p * kq -> kq-major
+    wr_ = jnp.swapaxes(wr_, -3, -2).reshape(*lead, p * q, d)
+    wi_ = jnp.swapaxes(wi_, -3, -2).reshape(*lead, p * q, d)
+    return wr_, wi_
+
+
+def mix_matmul_bf16(v: jnp.ndarray, gate_r: jnp.ndarray,
+                    gate_i: jnp.ndarray, n: int):
+    """Fast-mode spectral mix irfft(gate * rfft(v, n)) with every
+    full-size intermediate in bf16 split-real planes.  ``v (B, n, d)``
+    real; ``gate_{r,i} (B, n//2+1, hg)`` with hg | d (compact gate,
+    broadcast over channels).  Returns (B, n, d) in v.dtype.
+
+    Same math as rfft_matmul/irfft_matmul + complex gate multiply
+    (reference call sites spectre.py:506,551) — restructured so the
+    HBM-pass-bound 16k-64k regime moves half the bytes per pass."""
+    factors = plan_factors(n)
+    assert factors is not None, f"unsupported mix size {n}"
+    b, length, d = v.shape
+    assert length == n, (v.shape, n)
+    hg = gate_r.shape[-1]
+    assert d % hg == 0, (d, hg)
+    n2 = n // 2
+    store = jnp.bfloat16
+
+    x = v.astype(store)
+    zr = x[..., 0::2, :]                              # pack-to-complex
+    zi = x[..., 1::2, :]
+    fr, fi = _cfft_sr(zr, zi, factors, sign=-1, store=store)
+
+    # hermitian untangle in f32 compute (small elementwise passes)
+    fr32 = fr.astype(jnp.float32)
+    fi32 = fi.astype(jnp.float32)
+    er = jnp.concatenate([fr32, fr32[..., :1, :]], axis=-2)
+    ei = jnp.concatenate([fi32, fi32[..., :1, :]], axis=-2)
+    rr = jnp.concatenate(
+        [fr32[..., :1, :], fr32[..., 1:, :][..., ::-1, :],
+         fr32[..., :1, :]], axis=-2)
+    ri = jnp.concatenate(
+        [fi32[..., :1, :], fi32[..., 1:, :][..., ::-1, :],
+         fi32[..., :1, :]], axis=-2)
+    zer = 0.5 * (er + rr)
+    zei = 0.5 * (ei - ri)
+    zor = 0.5 * (ei + ri)                             # -0.5i * (z - conj)
+    zoi = -0.5 * (er - rr)
+    ph = _half_phasor_np(n, -1)
+    phr = jnp.asarray(ph.real.astype(np.float32))[:, None]
+    phi = jnp.asarray(ph.imag.astype(np.float32))[:, None]
+    sr = zer + phr * zor - phi * zoi                  # rfft re, (n2+1)
+    si = zei + phr * zoi + phi * zor                  # rfft im
+
+    # compact gate multiply, broadcast over d // hg channels per column
+    gr = jnp.repeat(gate_r.astype(jnp.float32), d // hg, axis=-1)
+    gi = jnp.repeat(gate_i.astype(jnp.float32), d // hg, axis=-1)
+    mr = gr * sr - gi * si
+    mi = gr * si + gi * sr
+
+    # irfft: numpy/torch convention ignores Im at the self-conjugate bins
+    bins = n2 + 1
+    self_conj = (jnp.arange(bins) % max(1, bins - 1)) == 0
+    mi = jnp.where(self_conj[:, None], 0.0, mi)
+    # conj X[n2-k]: straight flip of the (n2+1)-length array, negated im
+    vr = mr[..., ::-1, :]
+    vi = -mi[..., ::-1, :]
+    ber = 0.5 * (mr + vr)
+    bei = 0.5 * (mi + vi)
+    phI = _half_phasor_np(n, +1)
+    pIr = jnp.asarray(phI.real.astype(np.float32))[:, None]
+    pIi = jnp.asarray(phI.imag.astype(np.float32))[:, None]
+    dr = mr - vr
+    di = mi - vi
+    bor = 0.5 * (pIr * dr - pIi * di)
+    boi = 0.5 * (pIr * di + pIi * dr)
+    zsr = (ber - boi)[..., :-1, :]                    # ze + i*zo, re
+    zsi = (bei + bor)[..., :-1, :]                    # ... im
+    tr_, ti_ = _cfft_sr(zsr.astype(store), zsi.astype(store), factors,
+                        sign=+1, store=store)
+    outr = tr_.astype(jnp.float32) / n2
+    outi = ti_.astype(jnp.float32) / n2
+    out = jnp.stack([outr, outi], axis=-2)            # (..., n2, 2, d)
+    return out.reshape(b, n, d).astype(v.dtype)

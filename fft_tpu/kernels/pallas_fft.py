@@ -780,7 +780,19 @@ def _unfused_mix(v, gate_bc, memory_fft, n_fft, fast=False):
     """Reference composition through the matmul FFT (same math; used for
     the backward pass and as the fallback).  Accepts the compact
     (B, F_half, H*G) gate and broadcasts it over channels."""
-    from fft_tpu.kernels.matfft import irfft_matmul, rfft_matmul
+    from fft_tpu.kernels.matfft import (irfft_matmul, mix_matmul_bf16,
+                                        plan_factors, rfft_matmul)
+    if (fast and memory_fft is None and n_fft >= 16384 and v.ndim == 3
+            and v.shape[-2] == n_fft
+            and v.shape[-1] % gate_bc.shape[-1] == 0
+            and plan_factors(n_fft) is not None):
+        # Past the fused kernels' reach the composition is HBM-PASS-bound
+        # (roofline rows: 10-11% of the MXU bound at 16k/32k) — the
+        # split-real bf16-resident variant halves the bytes of every
+        # full-size pass.  Fast mode only; exact keeps f32 complex.
+        return mix_matmul_bf16(v, jnp.real(gate_bc).astype(jnp.float32),
+                               jnp.imag(gate_bc).astype(jnp.float32),
+                               n_fft)
     prec = (jax.lax.Precision.DEFAULT if fast
             else jax.lax.Precision.HIGHEST)
     d = v.shape[-1]

@@ -431,15 +431,24 @@ def spectre_multihead_apply(
     # Unsupported (n_fft, d) combinations fall through to the matmul-FFT
     # composition below — same math, unfused.
     use_fused = cfg.fft_impl == "pallas" and not cfg.causal and sp_mesh is None
+    use_wide = False
     if use_fused:
         from fft_tpu.kernels import pallas_fft as pf
+        from fft_tpu.kernels.matfft import plan_factors
         # fall back on CPU unless the interpreter is on (tests): a real
         # pallas_call has no CPU lowering, and fft_impl="pallas" promises
         # never to dead-end (tests/test_fftimpl_pallas.py)
         use_fused = (pf.pallas_mix_supported(cfg.n_fft) and d % 128 == 0
                      and (jax.default_backend() != "cpu" or pf.INTERPRET))
-    if use_fused:
-        from fft_tpu.kernels.pallas_fft import spectral_mix
+        # past the fused kernels' reach, STILL run all heads as ONE
+        # d-wide matmul-FFT composition (the per-head fallback transforms
+        # hd=64-wide arrays — half the lane axis idle — and traces H
+        # separate graphs); _unfused_mix additionally dispatches the
+        # split-real bf16 variant in fast mode at these sizes
+        use_wide = (not use_fused and cfg.n_fft >= 16384 and d % 128 == 0
+                    and plan_factors(cfg.n_fft) is not None)
+    if use_fused or use_wide:
+        from fft_tpu.kernels.pallas_fft import _unfused_mix, spectral_mix
 
         def gates_and_v(hp, xi):
             q = linear_apply(hp["w_q"], xi)
@@ -459,8 +468,12 @@ def spectre_multihead_apply(
             b, cfg.f_half, cfg.num_heads * cfg.num_groups)
         if n < cfg.n_fft:
             v_all = jnp.pad(v_all, ((0, 0), (0, cfg.n_fft - n), (0, 0)))
-        mixed = spectral_mix(v_all, gate_bc, memory_fft, cfg.n_fft,
-                             cfg.compute_dtype == "bfloat16")
+        if use_fused:
+            mixed = spectral_mix(v_all, gate_bc, memory_fft, cfg.n_fft,
+                                 cfg.compute_dtype == "bfloat16")
+        else:
+            mixed = _unfused_mix(v_all, gate_bc, memory_fft, cfg.n_fft,
+                                 fast=cfg.compute_dtype == "bfloat16")
         mixed = mixed[:, :n].astype(x.dtype)
         if not deterministic and cfg.dropout_p > 0.0:
             keep = 1.0 - cfg.dropout_p

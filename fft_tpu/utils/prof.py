@@ -196,7 +196,19 @@ def measure_chip_constants(trials: int = 3) -> ChipConstants:
 
     tv = (timed_v(fv_hi) - timed_v(fv_lo)) / 8     # per scan step
     tv -= 2 * nel_v * 4 / (hbm_gbps * 1e9)         # strip the HBM term
-    vpu_gops = unroll * 2 * nel_v / max(tv, 1e-9) / 1e9
+    if tv <= 1e-7:
+        # relay RTT jitter swallowed the short chains (observed: the
+        # clamp then yields EXACTLY unroll*2*nel_v "GOPs", a garbage
+        # constant) — retry once with 8x deeper chains so device time
+        # dominates, else report NaN and let callers skip the VPU bound
+        fv_lo2 = jax.jit(lambda x: vpu_chain(x, 16))
+        fv_hi2 = jax.jit(lambda x: vpu_chain(x, 80))
+        float(np.asarray(fv_lo2(xv)))
+        float(np.asarray(fv_hi2(xv)))
+        tv = (timed_v(fv_hi2) - timed_v(fv_lo2)) / 64
+        tv -= 2 * nel_v * 4 / (hbm_gbps * 1e9)
+    vpu_gops = (unroll * 2 * nel_v / tv / 1e9 if tv > 1e-7
+                else float("nan"))
 
     return ChipConstants(hbm_gbps=hbm_gbps,
                          mxu_tflops_bf16=mxu(jnp.bfloat16),

@@ -107,3 +107,40 @@ def test_fftops_pallas_resolves():
     assert rel_err(got, ref) < 1e-5
     y = fftops.irfft(got, 256, axis=-2, impl="pallas")
     assert rel_err(y, x) < 1e-5
+
+
+def test_wide_unfused_16k_matches_per_head_path():
+    """Non-causal blocks past the fused kernels' reach (n_fft >= 16384)
+    now run ALL heads as one d-wide matmul-FFT composition instead of
+    per-head hd-wide transforms (round-5).  Same math: the d-wide compact
+    gate broadcast must equal the vmapped per-head result."""
+    def cfg_for(impl):
+        return SpectreConfig(
+            embed_dim=128, num_heads=2, n_fft=16384, pooling_type="mean",
+            wavelet_on_rate=0.0, causal=False, fft_impl=impl)
+
+    cfg_w = cfg_for("pallas")    # wide path (no fused kernel at 16k)
+    cfg_p = cfg_for("matmul")    # per-head fallback path
+    params = spectre_block_init(jax.random.key(0), cfg_w)
+    x = jax.random.normal(jax.random.key(1), (1, 16384, 128), jnp.float32)
+    y_w = spectre_block_apply(params, cfg_w, x)
+    y_p = spectre_block_apply(params, cfg_p, x)
+    assert rel_err(y_w, y_p) < 1e-5
+
+
+def test_wide_unfused_16k_bf16_close_to_f32():
+    """The fast-mode 16k+ dispatch stores intermediates in bf16 planes;
+    it must stay within bf16-activation distance of the f32 composition."""
+    def cfg_for(dtype):
+        return SpectreConfig(
+            embed_dim=128, num_heads=2, n_fft=16384, pooling_type="mean",
+            wavelet_on_rate=0.0, causal=False, fft_impl="pallas",
+            compute_dtype=dtype)
+
+    cfg_b = cfg_for("bfloat16")
+    cfg_f = cfg_for("float32")
+    params = spectre_block_init(jax.random.key(0), cfg_f)
+    x = jax.random.normal(jax.random.key(1), (1, 16384, 128), jnp.float32)
+    y_b = spectre_block_apply(params, cfg_b, x.astype(jnp.bfloat16))
+    y_f = spectre_block_apply(params, cfg_f, x)
+    assert rel_err(y_b, y_f) < 5e-2

@@ -53,7 +53,11 @@ def test_plan_factors():
     assert plan_factors(65536) is not None
     assert plan_factors(2 * 131) is None      # prime 131 > 128
     assert plan_factors(7) is None            # odd
-    assert all(f <= 128 for f in plan_factors(65536))
+    # large powers of two trade radix_sum for one fewer recursion level
+    # (HBM passes dominate there — see benchmarks/ablate_fft_plan.py);
+    # radix 256 is still a single dense MXU contraction
+    assert all(f <= 256 for f in plan_factors(65536))
+    assert len(plan_factors(65536)) == 2
 
 
 def test_autodiff_matches_jnp_fft():
@@ -87,3 +91,43 @@ def test_irfft_gradient():
     g2 = jax.grad(loss_ref, holomorphic=False)(xh)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_mix_matmul_bf16_matches_complex_composition():
+    """Split-real bf16-resident mix (the fast-mode 16k+ dispatch) vs the
+    f32 complex composition: same math, bf16 storage between levels only
+    (~5e-3 rel at bf16-activation level)."""
+    from fft_tpu.kernels.matfft import mix_matmul_bf16
+    from fft_tpu.kernels.pallas_fft import _unfused_mix
+    rng = np.random.default_rng(0)
+    for n, d, hg in ((512, 256, 32), (2048, 128, 16)):
+        v = jnp.asarray(rng.standard_normal((2, n, d)), jnp.bfloat16)
+        gr = jnp.asarray(rng.standard_normal((2, n // 2 + 1, hg)),
+                         jnp.float32)
+        gi = jnp.asarray(rng.standard_normal((2, n // 2 + 1, hg)),
+                         jnp.float32)
+        ref = np.asarray(_unfused_mix(v, jax.lax.complex(gr, gi), None, n,
+                                      fast=False), np.float32)
+        got = np.asarray(mix_matmul_bf16(v, gr, gi, n), np.float32)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 2e-2, (n, d, hg, rel)
+
+
+def test_mix_matmul_bf16_gradients_flow():
+    """The split-real path is plain jnp (linear in v and bilinear in the
+    gate): autodiff must produce finite cotangents for both."""
+    from fft_tpu.kernels.matfft import mix_matmul_bf16
+    rng = np.random.default_rng(1)
+    n, d, hg = 256, 128, 16
+    v = jnp.asarray(rng.standard_normal((1, n, d)), jnp.bfloat16)
+    gr = jnp.asarray(rng.standard_normal((1, n // 2 + 1, hg)), jnp.float32)
+    gi = jnp.asarray(rng.standard_normal((1, n // 2 + 1, hg)), jnp.float32)
+
+    def loss(v, gr, gi):
+        return jnp.sum(mix_matmul_bf16(v, gr, gi, n).astype(jnp.float32)
+                       ** 2)
+
+    gv, ggr, ggi = jax.grad(loss, argnums=(0, 1, 2))(v, gr, gi)
+    for g in (gv, ggr, ggi):
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+        assert np.abs(np.asarray(g, np.float32)).max() > 0
