@@ -227,3 +227,28 @@ def test_exact_f32_2048_deep_scan_chain_chip():
     ref = jax.jit(lambda v, gr, gi: chain(
         lambda h, g: _unfused_mix(h, g, None, n, fast=False), v, gr, gi))
     assert _rel(run(v, g_r, g_i), ref(v, g_r, g_i)) < 1e-5
+
+
+@requires_tpu
+def test_mix_matmul_bf16_16k_chip():
+    """Round-5 regression: the split-real bf16-resident composition (the
+    fast-mode dispatch past the fused kernels' reach, n_fft >= 16384)
+    must run on chip and stay at bf16-activation distance from the f32
+    complex composition, including the radix-256 level-minimized plan at
+    64k complex-half lengths."""
+    from fft_tpu.kernels.matfft import mix_matmul_bf16
+    from fft_tpu.kernels.pallas_fft import _unfused_mix
+    rng = np.random.default_rng(7)
+    for n in (16384, 65536):
+        d, hg = 256, 32
+        v = jnp.asarray(rng.standard_normal((1, n, d)), jnp.bfloat16)
+        gr = jnp.asarray(rng.standard_normal((1, n // 2 + 1, hg)),
+                         jnp.float32)
+        gi = jnp.asarray(rng.standard_normal((1, n // 2 + 1, hg)),
+                         jnp.float32)
+        got = jax.jit(mix_matmul_bf16,
+                      static_argnums=(3,))(v, gr, gi, n)
+        ref = jax.jit(lambda v, gr, gi, n=n: _unfused_mix(
+            v, jax.lax.complex(gr, gi), None, n, fast=False))(v, gr, gi)
+        assert _rel(np.asarray(got, np.float32),
+                    np.asarray(ref, np.float32)) < 3e-2, n
