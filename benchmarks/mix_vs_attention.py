@@ -168,7 +168,8 @@ def main():
         cfg = SpectreConfig(embed_dim=D, num_heads=HEADS, n_fft=seq,
                             pooling_type="mean", wavelet_on_rate=0.0,
                             causal=True,
-                            causal_chunk=preferred_causal_chunk(seq, D),
+                            causal_chunk=preferred_causal_chunk(
+                                seq, D, train=args.bwd),
                             compute_dtype="bfloat16")
         sp_params = spectre_block_init(jax.random.key(2), cfg)
 

@@ -32,17 +32,21 @@ from fft_tpu.ops import fftops
 
 
 def preferred_causal_chunk(seq: int, d: int, fast: bool = True,
-                           g_groups: int = 32) -> int:
+                           g_groups: int = 32, train: bool = False) -> int:
     """Fastest measured chunk size for the causal block on v5e.
 
-    The dense segment-FFT forward (two (F2, 2C) rFFT-row matmuls per
-    segment, chunk <= 1024) shifted the optimum SMALLER at short-mid
-    sequences: the per-segment FFT cost stopped dominating, so the
-    nc^2-banded sweep tolerates more chunks and the smaller resident
-    window wins.  Measured block fwd ms (bf16, 32k tokens, dense fwd):
-    1k: C256 < C128; 2k-8k: C512 < C1024 (8k: C512 7.1 < C1024 7.5 —
-    pre-dense-fwd C512 measured 12.3).  At 16k+ the v2/v3 kernels with
-    chunk 2048 stay fastest (32k v1: C2048 32.0 < C1024 59.5); 64k+
+    Measured on chip, round-5 sweep (`benchmarks/sweep_chunk_train.py`,
+    bf16, 32k tokens/step, block fwd ms / fwd+bwd ms):
+
+        seq 2048:  C512 4.04/11.8   C1024 4.22/13.3   C256 4.06/14.1
+        seq 4096:  C512 4.15/14.1   C1024 4.43/12.4   C2048 7.01/16.5
+        seq 8192:  C1024 5.15/15.7  C512 6.16/26.7    C2048 6.59/16.5
+        seq 32768: C2048 11.5/66.9  C1024 23.3/69.2   C512 33.5/126.8
+
+    so: 256 at seq 1k, 512 at 2k-4k, 1024 at 8k (both modes), and the
+    v2/v3 kernels' chunk 2048 at 16k+; ``train=True`` flips 4k to 1024
+    (the backward's nc^2-banded adjoint prefers fewer, larger chunks —
+    12% cheaper per step — while the forward alone prefers 512).  64k+
     needs seq/32 so the v3 grid-banded kernel (chunk <= 2048) covers it.
 
     This is a THROUGHPUT default: larger chunks also lengthen the causal
@@ -57,8 +61,13 @@ def preferred_causal_chunk(seq: int, d: int, fast: bool = True,
     actually accept."""
     from fft_tpu.kernels.pallas_causal import fused_mix_supported
     if seq <= 8192:
-        # dense-forward regime: 256 at seq 1k, 512 at 2k-8k
-        cands = [min(512, seq // 4), seq // 8, seq // 16]
+        if seq <= 2048:
+            pref = [min(512, seq // 4)]
+        elif seq == 4096:
+            pref = [1024, 512] if train else [512, 1024]
+        else:
+            pref = [1024, 512]
+        cands = pref + [seq // 8, seq // 16]
     else:
         cands = [seq // 4] if seq // 4 >= 512 else []
         cands += [seq // 8, seq // 16]
