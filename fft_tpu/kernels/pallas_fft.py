@@ -234,7 +234,8 @@ def _direct_consts(n_fft: int):
     return mr, mi, ar, ai
 
 
-def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
+def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int,
+                        split2: bool = False):
     f_half = n_fft // 2 + 1
 
     def kernel(*refs):
@@ -251,26 +252,39 @@ def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
                 a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
 
-        v = v_ref[0].astype(jnp.float32)               # (N, dblk)
-        # ONE stacked matmul gives Re and Im rows together ([Mr; Mi] @ v);
-        # likewise the inverse contracts [Ar | Ai] @ [mxr; mxi] in one call
-        # — half the MXU dispatches of the r/i-split formulation (the VPU
-        # gate multiply between them no longer drains the MXU pipe twice)
-        x = mm(dm_ref[:], v)                           # (2F, dblk)
-        xr, xi = x[:f_half], x[f_half:]
-
         e_mat = e_ref[0]                               # (HG, dblk) one-hot
 
-        def expand(g):
+        def expand(g, em):
             return jax.lax.dot_general(
-                g, e_mat, (((1,), (0,)), ((), ())),
+                g, em, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision)
 
-        g_r = expand(gr_ref[0])
-        g_i = expand(gi_ref[0])
-        mxr = g_r * xr - g_i * xi
-        mxi = g_r * xi + g_i * xr
-        y = mm(aa_ref[:], jnp.concatenate([mxr, mxi], axis=0))  # (N, dblk)
+        def run(v, em, gr, gi):
+            # ONE stacked matmul gives Re and Im rows together
+            # ([Mr; Mi] @ v); likewise the inverse contracts
+            # [Ar | Ai] @ [mxr; mxi] in one call — half the MXU
+            # dispatches of the r/i-split formulation (the VPU gate
+            # multiply between them no longer drains the MXU pipe twice)
+            x = mm(dm_ref[:], v)                       # (2F, cols)
+            xr, xi = x[:f_half], x[f_half:]
+            g_r = expand(gr, em)
+            g_i = expand(gi, em)
+            mxr = g_r * xr - g_i * xi
+            mxi = g_r * xi + g_i * xr
+            return mm(aa_ref[:], jnp.concatenate([mxr, mxi], axis=0))
+
+        v = v_ref[0].astype(jnp.float32)               # (N, dblk)
+        if split2 and dblk >= 256:
+            # two independent half-width chains: the scheduler can
+            # overlap one half's VPU gate with the other half's MXU pass
+            # instead of serializing MXU -> VPU -> MXU per program
+            h = dblk // 2
+            y = jnp.concatenate(
+                [run(v[:, :h], e_mat[:, :h], gr_ref[0], gi_ref[0]),
+                 run(v[:, h:], e_mat[:, h:], gr_ref[0], gi_ref[0])],
+                axis=1)
+        else:
+            y = run(v, e_mat, gr_ref[0], gi_ref[0])
         if with_memory:
             # frozen spectral memory enters additively; its irFFT is a
             # per-layer constant, precomputed time-domain and added here
@@ -282,9 +296,10 @@ def _make_direct_kernel(n_fft: int, with_memory: bool, precision, dblk: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_fft", "interpret", "fast", "dblk"))
+                   static_argnames=("n_fft", "interpret", "fast", "dblk",
+                                    "split2"))
 def _direct_mix_call(v, g_r, g_i, mem_t, *, n_fft, interpret=False,
-                     fast=False, dblk=None):
+                     fast=False, dblk=None, split2=False):
     b, n, d = v.shape
     with_memory = mem_t is not None
     f_half = n_fft // 2 + 1
@@ -302,7 +317,8 @@ def _direct_mix_call(v, g_r, g_i, mem_t, *, n_fft, interpret=False,
             # over the 116 MB limit inside deep scan chains
             dblk = min(dblk, 256)
     precision = jax.lax.Precision.DEFAULT if fast else _PREC
-    kernel = _make_direct_kernel(n_fft, with_memory, precision, dblk)
+    kernel = _make_direct_kernel(n_fft, with_memory, precision, dblk,
+                                 split2)
     mr, mi, ar, ai = _direct_consts(n_fft)
     dm = np.concatenate([mr, mi], axis=0)              # (2F, N)
     aa = np.concatenate([ar, ai], axis=1)              # (N, 2F)
